@@ -1,0 +1,199 @@
+r"""Top-level orchestration: optimal force aggregation and cross validation.
+
+Behavior parity target: reference agg.py:49-343 — ``project_forces`` (auto
+constraint detection, method dispatch, result-dict packaging),
+``project_forces_grid_cv`` (k-fold CV over a kwargs grid), and
+``force_smoothness``. One deliberate fix: the reference CV loop calls a
+non-existent ``TMap.from_arrays`` (agg.py:224), crashing at runtime; here the
+real ``map_arrays`` method is used.
+"""
+
+from gc import collect
+from itertools import product
+from typing import (
+    Any,
+    Callable,
+    Collection,
+    Dict,
+    Final,
+    List,
+    Mapping,
+    NamedTuple,
+    Optional,
+    Tuple,
+    TypeVar,
+    Union,
+)
+
+import numpy as np
+
+from .constraints import Constraints, guess_pairwise_constraints
+from .map import LinearMap, TMap
+from .qp import qp_linear_map
+from .trajectory import Trajectory
+
+PROJECT_FORCES_CNSTR_AUTO: Final = "auto"
+
+SCORES_KNAME: Final = "scores"
+SDS_KNAME: Final = "sds"
+NRUNS_KNAME: Final = "n_runs"
+
+PROJFORCES_KNAME: Final = "mapped_forces"
+PROJCOORDS_KNAME: Final = "mapped_coords"
+TMAP_KNAME: Final = "tmap"
+RESIDUAL_KNAME: Final = "residual"
+CONSTRAINTS_KNAME: Final = "constraints"
+
+
+def project_forces(
+    coords: np.ndarray,
+    forces: np.ndarray,
+    coord_map: LinearMap,
+    constrained_inds: Union[Constraints, str, None] = PROJECT_FORCES_CNSTR_AUTO,
+    method: Callable[..., TMap] = qp_linear_map,
+    **kwargs,
+) -> Dict[str, Any]:
+    r"""Derive an optimized force map and apply it.
+
+    Arguments:
+    ---------
+    coords:
+        (n_frames, n_sites, n_dim) positions. For linear maps these only
+        matter for constraint auto-detection.
+    forces:
+        (n_frames, n_sites, n_dim) forces.
+    coord_map:
+        LinearMap fixing the configurational fg -> cg map.
+    constrained_inds:
+        Set of frozensets of constrained site groups, or "auto" to detect
+        pairwise constraints from coordinate fluctuations.
+    method:
+        Map builder (e.g. qp_linear_map, constraint_aware_uni_map,
+        qp_feat_linear_map, joptgauss_map); receives traj/coord_map/
+        constraints plus ``kwargs``.
+
+    Returns:
+    -------
+    Dict with mapped_coords, mapped_forces, tmap, residual (force_smoothness
+    of the mapped forces — computed in-sample), and constraints.
+    """
+    if isinstance(constrained_inds, str):
+        if constrained_inds != PROJECT_FORCES_CNSTR_AUTO:
+            raise ValueError(f"Unknown constraint mode '{constrained_inds}'.")
+        if not isinstance(coords, np.ndarray):
+            raise ValueError(
+                f"If constrained_inds is {PROJECT_FORCES_CNSTR_AUTO}, coords "
+                "cannot be None."
+            )
+        constrained_inds = guess_pairwise_constraints(coords)
+    t = Trajectory(coords=coords, forces=forces)
+    traj_map: TMap = method(
+        traj=t,
+        coord_map=coord_map,
+        constraints=constrained_inds,
+        **kwargs,
+    )
+    mapped = traj_map(t)
+    return {
+        PROJCOORDS_KNAME: mapped.coords,
+        PROJFORCES_KNAME: mapped.forces,
+        TMAP_KNAME: traj_map,
+        RESIDUAL_KNAME: force_smoothness(mapped.forces),
+        CONSTRAINTS_KNAME: constrained_inds,
+    }
+
+
+T = TypeVar("T")
+
+
+def project_forces_grid_cv(
+    cv_arg_dict: Mapping[str, List[T]],
+    coords: np.ndarray,
+    forces: np.ndarray,
+    n_folds: int = 5,
+    rng: Optional[np.random.Generator] = None,
+    **kwargs,
+) -> Dict[str, Dict[NamedTuple, Any]]:
+    """K-fold cross validation of ``project_forces`` over a parameter grid.
+
+    For each point of the grid implied by ``cv_arg_dict`` (cartesian product
+    over each key's value list), fits on the training folds and scores
+    ``force_smoothness`` on the holdout fold. Returns per-grid-point mean
+    scores, sample standard deviations, and completed run counts.
+
+    ``rng`` (new relative to the reference) makes the fold shuffle
+    reproducible.
+    """
+    n_frames = forces.shape[0]
+    frames = np.arange(n_frames)
+    (rng if rng is not None else np.random.default_rng()).shuffle(frames)
+    fold_inds = np.array_split(frames, n_folds)
+    train_inds = [
+        np.concatenate([x for j, x in enumerate(fold_inds) if j != i])
+        for i in range(len(fold_inds))
+    ]
+
+    results: Dict[str, Dict[Any, Any]] = {
+        SCORES_KNAME: {},
+        SDS_KNAME: {},
+        NRUNS_KNAME: {},
+    }
+    for label, grid_kwargs in process_cvargs(cv_arg_dict):
+        fold_scores: List[float] = []
+        combined = dict(kwargs, **grid_kwargs)
+        for tr, val in zip(train_inds, fold_inds):
+            try:
+                tmap = project_forces(
+                    coords=coords[tr], forces=forces[tr], **combined
+                )[TMAP_KNAME]
+                _, val_forces = tmap.map_arrays(
+                    coords=coords[val], forces=forces[val]
+                )
+                fold_scores.append(force_smoothness(val_forces))
+                del tmap
+            except ValueError as e:
+                print(e)
+            collect()
+        results[SCORES_KNAME][label] = mean(fold_scores)
+        results[SDS_KNAME][label] = sample_sd(fold_scores)
+        results[NRUNS_KNAME][label] = len(fold_scores)
+    return results
+
+
+def process_cvargs(
+    arg_dict: Mapping[str, List[Any]]
+) -> List[Tuple[NamedTuple, Dict[str, Any]]]:
+    """Expand {name: [values...]} into a labeled grid of kwarg dicts.
+
+    Each grid point is returned as (namedtuple label, kwargs dict); the
+    namedtuple type has one field per parameter name so labels are hashable
+    and self-describing.
+    """
+    names = list(arg_dict.keys())
+    value_lists = [arg_dict[name] for name in names]
+    CVArgs = NamedTuple("CVArgs", [(n, Any) for n in names])  # type: ignore[misc]
+    out: List[Tuple[NamedTuple, Dict[str, Any]]] = []
+    for combo in product(*value_lists):
+        label = CVArgs(**dict(zip(names, combo)))
+        out.append((label, dict(zip(names, combo))))
+    return out
+
+
+def force_smoothness(array: np.ndarray) -> float:
+    """Mean squared element — the force-map quality residual."""
+    return float(np.mean(np.asarray(array) ** 2))
+
+
+def mean(s: Collection[float]) -> Optional[float]:
+    """Arithmetic mean; None on empty input."""
+    if len(s) == 0:
+        return None
+    return sum(s) / len(s)
+
+
+def sample_sd(s: Collection[float]) -> Optional[float]:
+    """Sample standard deviation; None on empty input."""
+    m = mean(s)
+    if m is None or len(s) < 2:
+        return None
+    return (sum((o - m) ** 2 for o in s) / (len(s) - 1)) ** 0.5

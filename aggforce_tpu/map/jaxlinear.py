@@ -1,0 +1,162 @@
+"""JAX-backed linear maps (type-preserving, jit-compatible).
+
+Behavior parity targets: reference map/jaxlinearmap.py:14-208 (JLinearMap:
+dual-fill jitted NaN evaluation, numpy-in/numpy-out and jax-in/jax-out type
+preservation, bypass_nan_check escape hatch for use under jit) and
+map/jaxtools.py:9-66 (jaxify_linearmap closure with flattened/perframe modes).
+"""
+
+from functools import partial
+from typing import Callable, Tuple, TypeVar, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from ..ops.jaxcore import trjdot as jtrjdot
+from .core import LinearMap
+
+ArrT = TypeVar("ArrT", NDArray, jax.Array)
+
+
+@partial(jax.jit, static_argnames="nan_handling")
+def _dual_fill_trjdot(
+    factor: jax.Array, points: jax.Array, nan_handling: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Map once with NaN->0 and once with NaN->1; equality implies safety."""
+    if nan_handling:
+        zero_fill = jtrjdot(jnp.nan_to_num(points, nan=0.0), factor)
+        probe_fill = jtrjdot(jnp.nan_to_num(points, nan=1.0), factor)
+        return zero_fill, probe_fill
+    result = jtrjdot(points, factor)
+    return result, result
+
+
+class JLinearMap(LinearMap):
+    """LinearMap whose application runs as a jitted XLA kernel.
+
+    Calls preserve the input array library: numpy in -> numpy out, jax in ->
+    jax out. With ``bypass_nan_check=True`` the (host-synchronizing) NaN
+    consistency verdict is skipped, making the map safe to trace under jit
+    and to differentiate through.
+    """
+
+    def __init__(self, *args, bypass_nan_check: bool = False, **kwargs) -> None:
+        """Initialize; extra args forwarded to LinearMap."""
+        super().__init__(*args, **kwargs)
+        self.bypass_nan_check = bypass_nan_check
+        self._jax_standard_matrix = jnp.asarray(self.standard_matrix)
+
+    @property
+    def jax_standard_matrix(self) -> jax.Array:
+        """standard_matrix as a device array."""
+        return self._jax_standard_matrix
+
+    def __call__(self, points: Union[NDArray, jax.Array]) -> Union[NDArray, jax.Array]:
+        """Apply the map; input library and dtype discipline preserved."""
+        numpy_input = isinstance(points, np.ndarray)
+        jpoints = jnp.asarray(points) if numpy_input else points
+        result, probe = _dual_fill_trjdot(
+            factor=self._jax_standard_matrix,
+            points=jpoints,
+            nan_handling=bool(self.handle_nans),
+        )
+        if self.handle_nans and not self.bypass_nan_check:
+            if not jnp.allclose(result, probe, atol=self.nan_check_threshold):
+                raise ValueError(
+                    "NaN handling is on and multiplication tried to use a NaN "
+                    "value. Check the input array and standard_matrix."
+                )
+        return np.asarray(result) if numpy_input else result
+
+    def flat_call(self, flattened: ArrT) -> ArrT:
+        """Apply to (n_frames, n_sites*n_dim) arrays (type preserved)."""
+        shape = flattened.shape
+        if len(shape) != 2:
+            raise ValueError(f"Expected rank-2 array; got shape {shape}.")
+        if shape[1] % self.n_dim != 0:
+            raise ValueError(
+                f"Array of shape {shape} is incompatible with n_dim {self.n_dim}."
+            )
+        reshaped = flattened.reshape(shape[0], shape[1] // self.n_dim, self.n_dim)
+        out = self(reshaped)
+        return out.reshape(out.shape[0], out.shape[1] * out.shape[2])
+
+    def _like(self, matrix: np.ndarray) -> "JLinearMap":
+        return JLinearMap(
+            mapping=matrix,
+            bypass_nan_check=self.bypass_nan_check,
+            handle_nans=self.handle_nans,
+            nan_check_threshold=self.nan_check_threshold,
+        )
+
+    @property
+    def T(self) -> "JLinearMap":
+        """Map defined by the transposed standard matrix."""
+        return self._like(self.standard_matrix.T)
+
+    def __matmul__(self, lm: LinearMap, /) -> "JLinearMap":
+        """Compose standard matrices."""
+        return self._like(self.standard_matrix @ lm.standard_matrix)
+
+    def __rmul__(self, c: float, /) -> "JLinearMap":
+        """Scale the standard matrix."""
+        return self._like(c * self.standard_matrix)
+
+    def __add__(self, lm: LinearMap, /) -> "JLinearMap":
+        """Add standard matrices."""
+        return self._like(self.standard_matrix + lm.standard_matrix)
+
+    def astype(self, *args, **kwargs) -> "JLinearMap":
+        """Return an instance whose matrix is cast via numpy astype."""
+        return self.__class__(
+            mapping=self.standard_matrix.astype(*args, **kwargs),
+            bypass_nan_check=self.bypass_nan_check,
+            handle_nans=self.handle_nans,
+            nan_check_threshold=self.nan_check_threshold,
+        )
+
+    @classmethod
+    def from_linearmap(
+        cls, lm: LinearMap, /, bypass_nan_check: bool = False
+    ) -> "JLinearMap":
+        """Wrap an existing LinearMap."""
+        return cls(
+            mapping=lm.standard_matrix,
+            bypass_nan_check=bypass_nan_check,
+            handle_nans=lm.handle_nans,
+        )
+
+    def to_linearmap(self) -> LinearMap:
+        """Drop back to the numpy LinearMap."""
+        return LinearMap(mapping=self.standard_matrix, handle_nans=self.handle_nans)
+
+
+def jaxify_linearmap(
+    lm: LinearMap,
+    flattened: bool = True,
+    n_dim: int = 3,
+) -> Callable[[jax.Array], jax.Array]:
+    """Build a pure-jax closure applying ``lm``'s standard matrix.
+
+    With ``flattened=True`` the closure maps (n_frames, n_sites*n_dim) arrays
+    (reshaping internally); otherwise it maps rank-3 trajectory arrays. The
+    returned callable accepts ``perframe=True`` to act on single frames
+    (useful inside vmap).
+    """
+    matrix = jnp.asarray(lm.standard_matrix)
+
+    def wrapped(mat: jax.Array, perframe: bool = False) -> jax.Array:
+        if perframe:
+            mat = mat[None, ...]
+        if flattened:
+            mat = mat.reshape(mat.shape[0], mat.shape[1] // n_dim, n_dim)
+        result = jtrjdot(mat, matrix)
+        if flattened:
+            result = result.reshape(result.shape[0], result.shape[1] * result.shape[2])
+        if perframe:
+            result = result[0]
+        return result
+
+    return wrapped

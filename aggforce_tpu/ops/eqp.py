@@ -1,0 +1,174 @@
+"""Equality-constrained quadratic program solvers.
+
+The reference delegates its per-CG-site QPs
+
+    minimize  x^T P x      subject to  A x = b
+
+to OSQP/SCS (C solvers behind ``qpsolvers``), looping over CG sites serially
+(reference qp/qplinear.py:79-86, qp/featlinearmap.py:349-384). Because the
+constraints here are *equality only*, the KKT conditions are linear:
+
+    [ P   A^T ] [ x ]   [ 0 ]
+    [ A   0   ] [ nu] = [ b ]
+
+so a factorize-once/solve-many linear solve replaces the iterative ADMM
+entirely. This module provides:
+
+  * :func:`eqp_solve` — jitted multi-RHS KKT solve with OSQP-style diagonal
+    regularization (handles rank-deficient / redundant constraint rows, which
+    occur e.g. when constraint frames are sampled from frame-independent
+    features) plus iterative refinement against the *unregularized* KKT
+    operator — the same polish-refinement scheme OSQP uses, which converges to
+    the exact solution for consistent systems while keeping every shape static
+    for XLA.
+  * :func:`batched_eqp_solve` — vmap of the above over a leading batch axis
+    (per-CG-site problems with distinct P/A/b solved in parallel on device).
+  * :func:`eqp_solve_host` — float64 numpy/LAPACK twin used as an accuracy
+    oracle and as the default for small host-side fits.
+
+All entries of B are solved against the same (P, A) factorization, so the
+reference's per-site loop becomes one factorization + one triangular solve
+with n_cg right-hand sides.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+
+def _kkt(P: jax.Array, A: jax.Array, delta: jax.Array, regularized: bool):
+    """Assemble the (regularized) KKT matrix."""
+    n = P.shape[0]
+    m = A.shape[0]
+    if regularized:
+        top = jnp.concatenate(
+            [P + delta * jnp.eye(n, dtype=P.dtype), A.T], axis=1
+        )
+        bot = jnp.concatenate(
+            [A, -delta * jnp.eye(m, dtype=P.dtype)], axis=1
+        )
+    else:
+        top = jnp.concatenate([P, A.T], axis=1)
+        bot = jnp.concatenate([A, jnp.zeros((m, m), dtype=P.dtype)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def eqp_solve(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    delta: float = 1e-6,
+    refine_iters: int = 8,
+) -> jax.Array:
+    """Solve min x^T P x s.t. A x = b for every column b of B.
+
+    Arguments:
+    ---------
+    P:
+        (n, n) symmetric positive semidefinite cost matrix.
+    A:
+        (m, n) equality constraint matrix (may contain redundant rows).
+    B:
+        (m, k) stack of right-hand sides; column i yields solution column i.
+    delta:
+        Diagonal KKT regularization, applied after equilibration (P scaled to
+        unit mean diagonal, constraint rows to unit norm) so it is invariant
+        to the data scale.
+    refine_iters:
+        Refinement sweeps against the unregularized KKT operator. Each sweep
+        contracts the regularization error by ~delta/lambda_min, so a handful
+        of sweeps recovers the exact solution to working precision.
+
+    Returns:
+    -------
+    (n, k) array of primal solutions.
+    """
+    dtype = P.dtype
+    n = P.shape[0]
+    m = A.shape[0]
+    # Equilibrate: scaling the objective does not move the minimizer, and
+    # row-scaling consistent constraints does not change the feasible set, so
+    # normalize both blocks to O(1) before forming the (regularized) KKT
+    # system. Without this, data-scale imbalance (force Grams reach 1e9+)
+    # makes the relative regularization swamp the constraint rows.
+    p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
+    Pn = P / p_scale
+    row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
+        1e-30, dtype
+    )
+    An = A / row_norm
+    Bn = B / row_norm
+    dlt = jnp.asarray(delta, dtype)
+    K_reg = _kkt(Pn, An, dlt, regularized=True)
+    K_true = _kkt(Pn, An, dlt, regularized=False)
+    lu, piv = jsl.lu_factor(K_reg)
+    rhs = jnp.concatenate([jnp.zeros((n,) + B.shape[1:], dtype), Bn], axis=0)
+    Z = jsl.lu_solve((lu, piv), rhs)
+
+    def body(_, Z):
+        resid = rhs - jnp.matmul(K_true, Z, precision="highest")
+        return Z + jsl.lu_solve((lu, piv), resid)
+
+    Z = jax.lax.fori_loop(0, refine_iters, body, Z)
+    return Z[:n]
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def batched_eqp_solve(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    delta: float = 1e-6,
+    refine_iters: int = 8,
+) -> jax.Array:
+    """Batched :func:`eqp_solve` over a leading axis.
+
+    P: (s, n, n); A: (s, m, n); B: (s, m, k) -> (s, n, k). All CG-site
+    problems solve concurrently on device (batched LU on the MXU).
+    """
+    return jax.vmap(
+        lambda p, a, b: eqp_solve(p, a, b, delta=delta, refine_iters=refine_iters)
+    )(P, A, B)
+
+
+def eqp_solve_host(
+    P: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    delta: float = 1e-12,
+    refine_iters: int = 4,
+    rcond: Optional[float] = None,
+) -> np.ndarray:
+    """Float64 host twin of :func:`eqp_solve` (LAPACK LU + refinement)."""
+    import scipy.linalg as sl
+
+    P = np.asarray(P, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    n = P.shape[0]
+    m = A.shape[0]
+    # equilibrate (see eqp_solve): objective scale and constraint row norms
+    # are normalized to O(1) without moving the primal solution.
+    p_scale = np.trace(P) / n + 1e-300
+    Pn = P / p_scale
+    row_norm = np.linalg.norm(A, axis=1, keepdims=True) + 1e-300
+    An = A / row_norm
+    Bn = B / row_norm
+    K_reg = np.block(
+        [
+            [Pn + delta * np.eye(n), An.T],
+            [An, -delta * np.eye(m)],
+        ]
+    )
+    K_true = np.block([[Pn, An.T], [An, np.zeros((m, m))]])
+    lu, piv = sl.lu_factor(K_reg)
+    rhs = np.concatenate([np.zeros((n,) + B.shape[1:]), Bn], axis=0)
+    Z = sl.lu_solve((lu, piv), rhs)
+    for _ in range(refine_iters):
+        Z = Z + sl.lu_solve((lu, piv), rhs - K_true @ Z)
+    return Z[:n]

@@ -1,0 +1,3 @@
+"""Device-mesh scaling: sharded Gram reductions and distributed fits."""
+# ruff: noqa: F401
+from .mesh import make_mesh, sharded_linear_fit, sharded_force_smoothness

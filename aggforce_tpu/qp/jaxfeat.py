@@ -1,0 +1,345 @@
+r"""Gaussian distance-basis features on the TPU.
+
+Behavior parity target: reference qp/jaxfeat.py:20-567 (``gb_feat``: each fg
+site featurized by Gaussian bins of its distance to a cg site, constrained
+atoms smeared together and sharing one-hot channels; divergences of the
+collapsed features w.r.t. the fg coordinates with the cg points held fixed).
+
+TPU-first redesign (same features, different execution):
+
+  * ``channel_allocate``'s per-site python loop (reference jaxfeat.py:282-368)
+    becomes a broadcast one-hot product — one fused elementwise kernel; the
+    channel layout keeps ``max_channels + 1`` slots so every constraint group
+    (including the highest label) gets a channel;
+  * divergences default to a *closed-form* kernel (``div_method="closed"``):
+    for s = smear(x), d_j = |s_j - c| and basis phi_k,
+
+        div[t, (g,k), a] = sum_j phi_k'(d_tj) * u_tja * SC[j, g],
+        u = (s - c)/d,   SC[j, g] = sum_{m: channel(m)=g} S[j, m]
+
+    which is two einsum contractions instead of a full jacrev pass (the
+    reference's "reorder"/"basic" autodiff methods are kept as cross-checks);
+  * features and divergences for one cg site are produced by single jitted
+    calls, chunked over frames with ``abatch`` to bound device memory.
+"""
+
+from functools import partial
+from typing import Final, Iterable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import Constraints, reduce_constraint_sets
+from ..map import LinearMap, smear_map
+from ..ops.jaxcore import abatch, distances, trjdot
+from .featlinearmap import Features, KNAME_DIVS, KNAME_FEATS, KNAME_NAMES, id_feat
+
+DIVMETHOD_REORDER: Final = "reorder"
+DIVMETHOD_BASIC: Final = "basic"
+DIVMETHOD_CLOSED: Final = "closed"
+
+
+@partial(jax.jit, inline=True, static_argnames=["n_basis"])
+def gaussian_dist_basis(
+    dists: jax.Array,
+    outer: float,
+    inner: float = 0,
+    n_basis: int = 10,
+    width: float = 1.0,
+    dist_power: float = 0.5,
+    clip: float = 1e-3,
+) -> jax.Array:
+    """Expand distances in a grid of clipped Gaussians (appended axis).
+
+    Grid points are uniform after the transform x -> x**dist_power
+    (dist_power < 1 concentrates bins near ``inner``).
+    """
+    pow_grid = jnp.linspace(inner**dist_power, outer**dist_power, n_basis)
+    centers = pow_grid ** (1.0 / dist_power)
+    offset = (dists[..., None] - centers) / width
+    gauss = jnp.exp(-(offset**2))
+    if clip is None:
+        return gauss
+    return jnp.maximum(gauss, clip) - clip
+
+
+@partial(jax.jit, inline=True)
+def clipped_gauss(
+    inp: jax.Array, center: float, width: float = 1.0, clip: float = 1e-3
+) -> jax.Array:
+    """Gaussian of (inp - center)/width, floored at ``clip`` then shifted to 0."""
+    gauss = jnp.exp(-(((inp - center) / width) ** 2))
+    if clip is None:
+        return gauss
+    return jnp.maximum(gauss, clip) - clip
+
+
+def _channel_onehot(channels: Tuple[int, ...], n_channels: int) -> jax.Array:
+    """(n_sites, n_channels) one-hot of each site's constraint-group channel."""
+    idx = jnp.asarray(channels)
+    return jax.nn.one_hot(idx, n_channels, dtype=jnp.float32)
+
+
+@partial(
+    jax.jit, inline=True, static_argnames=["channels", "max_channels", "jac_shape"]
+)
+def channel_allocate(
+    feats: jax.Array,
+    channels: Tuple[int, ...],
+    max_channels: int,
+    jac_shape: bool = False,
+) -> jax.Array:
+    """Distribute per-site features into per-channel one-hot slots.
+
+    Standard shape: (n_frames, n_sites, K) -> (n_frames, n_sites, K*C) with
+    site j's features landing in slot block ``channel(j)``; implemented as a
+    broadcast outer product with the channel one-hot (no python site loop).
+    ``jac_shape`` handles the (K, n_frames, n_sites, n_dim) jacobian layout,
+    allocating along the derivative-site axis.
+    """
+    n_channels = max_channels + 1
+    onehot = _channel_onehot(channels, n_channels)
+    if jac_shape:
+        # feats: (K, T, j, d) -> (K*C, T, j, d), channel by j
+        k, t, j, d = feats.shape
+        out = jnp.einsum("ktjd,jc->cktjd", feats, onehot)
+        return out.reshape(n_channels * k, t, j, d)
+    t, j, k = feats.shape
+    out = jnp.einsum("tjk,jc->tjck", feats, onehot.astype(feats.dtype))
+    return out.reshape(t, j, n_channels * k)
+
+
+@partial(
+    jax.jit,
+    static_argnames=[
+        "inner",
+        "outer",
+        "channels",
+        "max_channels",
+        "collapse",
+        "channelize",
+        "n_basis",
+    ],
+)
+def gb_subfeat(
+    points: jax.Array,
+    cg_points: jax.Array,
+    channels: Tuple[int, ...],
+    max_channels: int,
+    smear_mat: Union[None, jax.Array],
+    collapse: bool = False,
+    channelize: bool = True,
+    **kwargs,
+) -> jax.Array:
+    """Features for one cg site: smear -> distances -> basis -> channels.
+
+    ``collapse`` sums over frames and sites (for autodiff divergence
+    methods); 2-D ``points`` get a dummy frame axis.
+    """
+    dummy_axis = points.ndim == 2
+    if dummy_axis:
+        points = points[None, ...]
+    if smear_mat is not None:
+        points = trjdot(points, smear_mat)
+    dists = distances(xyz=points, cross_xyz=cg_points)
+    gauss = gaussian_dist_basis(dists, **kwargs)[:, 0, :, :]
+    out = channel_allocate(gauss, channels, max_channels) if channelize else gauss
+    if collapse:
+        return out.sum(axis=(0, 1))
+    if dummy_axis:
+        return out[0, ...]
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=["inner", "outer", "channels", "max_channels", "n_basis"],
+)
+def _gb_closed_div(
+    points: jax.Array,
+    cg_points: jax.Array,
+    channels: Tuple[int, ...],
+    max_channels: int,
+    smear_mat: Union[None, jax.Array],
+    outer: float,
+    inner: float = 0,
+    n_basis: int = 10,
+    width: float = 1.0,
+    dist_power: float = 0.5,
+    clip: float = 1e-3,
+) -> jax.Array:
+    """Closed-form divergence of the channelized collapsed features.
+
+    Returns (n_frames, n_basis*(max_channels+1), n_dim). See module docstring
+    for the derivation; matches the autodiff "reorder" method to numerical
+    precision, at the cost of two einsums instead of a jacobian sweep.
+    """
+    n_channels = max_channels + 1
+    if smear_mat is not None:
+        spoints = trjdot(points, smear_mat)
+    else:
+        spoints = points
+    # displacement of each (smeared) fg site from the single cg site
+    disp = spoints - cg_points  # (T, N, 3)
+    d = jnp.sqrt(jnp.sum(disp * disp, axis=-1))  # (T, N)
+    u = disp / jnp.maximum(d, 1e-30)[..., None]  # unit vectors (T, N, 3)
+
+    pow_grid = jnp.linspace(inner**dist_power, outer**dist_power, n_basis)
+    centers = pow_grid ** (1.0 / dist_power)
+    offset = (d[..., None] - centers) / width  # (T, N, K)
+    gauss = jnp.exp(-(offset**2))
+    live = gauss > clip if clip is not None else jnp.ones_like(gauss, bool)
+    dphi = jnp.where(live, gauss * (-2.0 * offset / width), 0.0)  # (T, N, K)
+
+    onehot = _channel_onehot(channels, n_channels).astype(points.dtype)
+    if smear_mat is not None:
+        site_to_channel = smear_mat @ onehot  # SC[j, g]
+    else:
+        site_to_channel = onehot
+    # div[t, g, k, a] = sum_j dphi[t,j,k] * u[t,j,a] * SC[j,g]
+    div = jnp.einsum("tjk,tja,jg->tgka", dphi, u, site_to_channel)
+    t = div.shape[0]
+    return div.reshape(t, n_channels * n_basis, 3)
+
+
+def gb_subfeat_jac(
+    points: jax.Array,
+    cg_points: jax.Array,
+    channels: Tuple[int, ...],
+    max_channels: int,
+    smear_mat: Union[jax.Array, None] = None,
+    method: str = DIVMETHOD_CLOSED,
+    **kwargs,
+) -> jax.Array:
+    """Per-frame divergences of the collapsed features for one cg site.
+
+    ``method`` selects "closed" (analytic kernel, default), "reorder"
+    (jacrev before channel allocation), or "basic" (jacfwd of the fully
+    channelized features). All agree numerically; the autodiff paths exist as
+    cross-checks of the analytic kernel.
+    """
+    if method == DIVMETHOD_CLOSED:
+        return _gb_closed_div(
+            points,
+            cg_points,
+            channels=channels,
+            max_channels=max_channels,
+            smear_mat=smear_mat,
+            **kwargs,
+        )
+    if method == DIVMETHOD_BASIC:
+
+        def to_jac(x: jax.Array) -> jax.Array:
+            return gb_subfeat(
+                x,
+                cg_points=cg_points,
+                channels=channels,
+                max_channels=max_channels,
+                smear_mat=smear_mat,
+                collapse=True,
+                **kwargs,
+            )
+
+        jac = jax.jacfwd(to_jac)(points)  # (K_exp, T, N, 3)
+        return jnp.swapaxes(jac.sum(axis=2), 0, 1)
+    if method == DIVMETHOD_REORDER:
+
+        def to_jac_flat(x: jax.Array) -> jax.Array:
+            return gb_subfeat(
+                x,
+                cg_points=cg_points,
+                channels=channels,
+                max_channels=max_channels,
+                smear_mat=smear_mat,
+                collapse=True,
+                channelize=False,
+                **kwargs,
+            )
+
+        jac = jax.jacrev(to_jac_flat)(points)  # (K, T, N, 3)
+        ch_jac = channel_allocate(jac, channels, max_channels, jac_shape=True)
+        return jnp.swapaxes(ch_jac.sum(axis=2), 0, 1)
+    raise ValueError("Unknown method for jacobian calculation.")
+
+
+def gb_feat(
+    points: np.ndarray,
+    cmap: LinearMap,
+    constraints: Constraints,
+    outer: float,
+    inner: float = 0,
+    n_basis: int = 10,
+    width: float = 1.0,
+    dist_power: float = 0.5,
+    batch_size: Union[None, int] = None,
+    lazy: bool = True,
+    div_method: str = DIVMETHOD_CLOSED,
+) -> Features:
+    """Gaussian-binned fg<->cg distance features for every cg site.
+
+    Protocol-compatible featurizer (see qp_feat_linear_map): returns
+    per-cg-site generators (or lists with ``lazy=False``) of feature arrays
+    (n_frames, n_fg_sites, n_basis*(max_channel+1)) and divergence arrays
+    (n_frames, n_feats, 3). Constrained atoms are smeared to their group mean
+    and share channels, so their features (and hence mapping weights)
+    coincide.
+    """
+    cg_points_all = jnp.asarray(cmap(np.asarray(points)))
+    reduced_cons = reduce_constraint_sets(constraints)
+    ids = tuple(int(i) for i in id_feat(points, cmap, constraints, return_ids=True))
+    smearm = jnp.asarray(
+        smear_map(
+            site_groups=reduced_cons,
+            n_sites=cmap.n_fg_sites,
+            return_mapping_matrix=True,
+        )
+    )
+    max_channels = max(ids)
+
+    f_kwargs = {
+        "channels": ids,
+        "max_channels": max_channels,
+        "smear_mat": smearm,
+        "inner": inner,
+        "outer": outer,
+        "width": width,
+        "n_basis": n_basis,
+        "dist_power": dist_power,
+    }
+    points_dev = jnp.asarray(points)
+    inds = jnp.arange(len(points))
+
+    def subfeater(arg_inds: jax.Array, arg_cg_site: int) -> jax.Array:
+        return gb_subfeat(
+            points=points_dev[arg_inds],
+            cg_points=cg_points_all[arg_inds, arg_cg_site : arg_cg_site + 1, :],
+            **f_kwargs,
+        )
+
+    def feater(cg_site: int) -> np.ndarray:
+        return np.asarray(
+            abatch(subfeater, inds, batch_size, arg_cg_site=cg_site)
+        )
+
+    def subdivver(arg_inds: jax.Array, arg_cg_site: int) -> jax.Array:
+        return gb_subfeat_jac(
+            points=points_dev[arg_inds],
+            cg_points=cg_points_all[arg_inds, arg_cg_site : arg_cg_site + 1, :],
+            method=div_method,
+            **f_kwargs,
+        )
+
+    def divver(cg_site: int) -> np.ndarray:
+        return np.asarray(
+            abatch(subdivver, inds, batch_size, arg_cg_site=cg_site)
+        )
+
+    if lazy:
+        feats: Iterable = (feater(x) for x in range(cmap.n_cg_sites))
+        divs: Iterable = (divver(x) for x in range(cmap.n_cg_sites))
+    else:
+        feats = [feater(x) for x in range(cmap.n_cg_sites)]
+        divs = [divver(x) for x in range(cmap.n_cg_sites)]
+
+    return {KNAME_FEATS: feats, KNAME_DIVS: divs, KNAME_NAMES: None}

@@ -1,0 +1,188 @@
+"""Optimal static linear force maps via constrained least squares.
+
+Behavior parity target: reference qp/qplinear.py:30-164. The optimization
+problem is identical — for each cg site i,
+
+    minimize  x^T P x,   P = (F C)^T (F C) [+ l2 * C^T C]
+    s.t.      (M C) x = e_i
+
+with F the (3T, n_fg) stacked forces, M the coordinate map matrix, and C the
+constraint duplication matrix tying constrained atoms to shared coefficients.
+
+TPU-first redesign (same math, different execution):
+
+  * the Gram matrix P is ONE large MXU matmul over the whole (sharded) frame
+    axis instead of a host-side numpy product;
+  * all n_cg per-site QPs share (P, A): they are solved simultaneously by a
+    single factorize-once multi-RHS KKT solve (:mod:`aggforce_tpu.ops.eqp`)
+    instead of n_cg serial OSQP invocations (reference qp/qplinear.py:79-86);
+  * the entire fit — reshape, Gram, KKT, re-expansion C @ X — is a single
+    jitted function; a float64 host path is available for
+    accuracy-critical/oracle use.
+"""
+
+from functools import partial
+from typing import Optional, TypedDict, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import Constraints, constraint_lookup_dict, reduce_constraint_sets
+from ..map import LinearMap, SeperableTMap
+from ..ops.core import qp_form
+from ..ops.eqp import eqp_solve, eqp_solve_host
+from ..trajectory import ForcesTrajectory
+
+
+class SolverOptions(TypedDict, total=False):
+    """Knobs for the KKT solver.
+
+    ``backend``: "device" (jitted f32 path), "host" (float64 LAPACK), or
+    "auto" (host for small problems / float64 inputs, device otherwise).
+    ``delta``: relative KKT regularization. ``refine_iters``: iterative
+    refinement sweeps. Unknown keys (e.g. the reference's OSQP options such as
+    "solver", "eps_abs", "max_iter", "polish") are accepted and ignored so
+    reference call sites keep working.
+    """
+
+    backend: str
+    delta: float
+    refine_iters: int
+
+
+DEFAULT_SOLVER_OPTIONS: SolverOptions = {
+    "backend": "auto",
+    "refine_iters": 8,
+}
+
+_KNOWN_OPTION_KEYS = frozenset(("backend", "delta", "refine_iters"))
+
+
+def _solver_opts(solver_args: Optional[dict]) -> SolverOptions:
+    if solver_args is None:
+        return dict(DEFAULT_SOLVER_OPTIONS)  # type: ignore[return-value]
+    out = dict(DEFAULT_SOLVER_OPTIONS)
+    for k, v in solver_args.items():
+        if k in _KNOWN_OPTION_KEYS:
+            out[k] = v
+    return out  # type: ignore[return-value]
+
+
+@partial(jax.jit, static_argnames=("refine_iters",))
+def _device_linear_fit(
+    forces: jax.Array,
+    con_mat: jax.Array,
+    cmap_mat: jax.Array,
+    l2_regularization: jax.Array,
+    delta: float = 1e-7,
+    refine_iters: int = 8,
+) -> jax.Array:
+    """Fused device fit: Gram + multi-RHS KKT + coefficient re-expansion.
+
+    forces: (T, N, 3); con_mat: (N, R); cmap_mat: (n_cg, N).
+    Returns the (n_cg, N) force-map matrix.
+    """
+    t, n, d = forces.shape
+    flat = jnp.swapaxes(forces, 1, 2).reshape(t * d, n)
+    design = jnp.matmul(flat, con_mat, precision="highest")  # (3T, R) MXU GEMM
+    gram = jnp.matmul(design.T, design, precision="highest")
+    gram = gram + l2_regularization * jnp.matmul(
+        con_mat.T, con_mat, precision="highest"
+    )
+    a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
+    basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
+    x = eqp_solve(gram, a_mat, basis, delta=delta, refine_iters=refine_iters)
+    return jnp.matmul(con_mat, x, precision="highest").T
+
+
+def _host_linear_fit(
+    forces: np.ndarray,
+    con_mat: np.ndarray,
+    cmap_mat: np.ndarray,
+    l2_regularization: float,
+    delta: float = 1e-12,
+    refine_iters: int = 4,
+) -> np.ndarray:
+    """Float64 LAPACK twin of :func:`_device_linear_fit`."""
+    design = qp_form(np.asarray(forces, dtype=np.float64)) @ con_mat
+    gram = design.T @ design
+    if l2_regularization > 0.0:
+        gram = gram + l2_regularization * (con_mat.T @ con_mat)
+    a_mat = np.asarray(cmap_mat, dtype=np.float64) @ con_mat
+    basis = np.eye(a_mat.shape[0])
+    x = eqp_solve_host(gram, a_mat, basis, delta=delta, refine_iters=refine_iters)
+    return (con_mat @ x).T
+
+
+def qp_linear_map(
+    traj: ForcesTrajectory,
+    coord_map: LinearMap,
+    constraints: Optional[Constraints] = None,
+    l2_regularization: float = 0.0,
+    solver_args: Optional[Union[SolverOptions, dict]] = None,
+) -> SeperableTMap:
+    """Find the linear force map minimizing the mean squared mapped force.
+
+    Arguments mirror the reference entry point; ``solver_args`` accepts (and
+    ignores) reference OSQP options plus the native options documented on
+    :class:`SolverOptions`.
+    """
+    if constraints is None:
+        constraints = set()
+    opts = _solver_opts(dict(solver_args) if solver_args else None)
+    con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
+
+    forces = traj.forces
+    backend = opts.get("backend", "auto")
+    if backend == "auto":
+        backend = "host" if forces.dtype == np.float64 else "device"
+
+    if backend == "host":
+        fmap_mat = _host_linear_fit(
+            forces,
+            con_mat.astype(np.float64),
+            coord_map.standard_matrix,
+            l2_regularization,
+            delta=opts.get("delta", 1e-12),
+            refine_iters=opts.get("refine_iters", 4),
+        )
+        fmap_mat = fmap_mat.astype(np.asarray(forces).dtype)
+    else:
+        dtype = jnp.asarray(forces[:1]).dtype
+        fmap_mat = np.asarray(
+            _device_linear_fit(
+                jnp.asarray(forces),
+                jnp.asarray(con_mat, dtype=dtype),
+                jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+                jnp.asarray(l2_regularization, dtype=dtype),
+                delta=opts.get("delta", 1e-7),
+                refine_iters=opts.get("refine_iters", 8),
+            )
+        )
+    force_map = LinearMap(fmap_mat)
+    return SeperableTMap(coord_map=coord_map, force_map=force_map)
+
+
+def make_bond_constraint_matrix(n_sites: int, constraints: Constraints) -> np.ndarray:
+    """Duplication matrix C mapping reduced coefficients to per-site ones.
+
+    Sites in the same (merged) constraint group share one reduced degree of
+    freedom; C has a 1 in row ``site`` at the column of that site's reduced
+    coefficient. Unconstrained sites keep their own column. Columns are
+    ordered by each group anchor's position among unconstrained sites
+    (reference qp/qplinear.py:106-164 semantics).
+    """
+    groups = reduce_constraint_sets(constraints)
+    lookup = constraint_lookup_dict(groups)
+    n_removed = sum(len(g) for g in groups)
+    reduced_n = n_sites - n_removed + len(groups)
+    mat = np.zeros((n_sites, reduced_n))
+    col = 0
+    for site in range(n_sites):
+        if site not in lookup:
+            mat[site, col] = 1.0
+            col += 1
+    for site, anchor in lookup.items():
+        mat[site, :] = mat[anchor, :]
+    return mat

@@ -1,0 +1,4 @@
+"""Generic helpers: partial application, flattening, PDB parsing, synthetic data."""
+# ruff: noqa: F401
+from .funcs import curry, Curry, flatten
+from .pdblite import read_pdb_atoms, ca_map_from_pdb

@@ -1,0 +1,52 @@
+"""Constraint detection and algebra."""
+
+import numpy as np
+
+from aggforce_tpu.constraints import (
+    constraint_lookup_dict,
+    guess_pairwise_constraints,
+    reduce_constraint_sets,
+)
+
+
+def test_reduce_merges_overlaps():
+    inp = {frozenset({1, 2}), frozenset({2, 3}), frozenset({4, 5})}
+    out = reduce_constraint_sets(inp)
+    assert out == {frozenset({1, 2, 3}), frozenset({4, 5})}
+
+
+def test_reduce_chained_overlaps():
+    inp = {frozenset({i, i + 1}) for i in range(6)}
+    assert reduce_constraint_sets(inp) == {frozenset(range(7))}
+
+
+def test_reduce_trivial_cases():
+    assert reduce_constraint_sets(set()) == set()
+    single = {frozenset({3, 9})}
+    assert reduce_constraint_sets(single) == single
+
+
+def test_lookup_dict():
+    groups = {frozenset({1, 2, 3}), frozenset({4, 5}), frozenset({6, 7})}
+    assert constraint_lookup_dict(groups) == {2: 1, 3: 1, 5: 4, 7: 6}
+
+
+def test_guess_pairwise_constraints_detects_rigid_pair():
+    rng = np.random.default_rng(3)
+    n_frames, n_sites = 50, 5
+    coords = rng.normal(size=(n_frames, n_sites, 3))
+    # sites 1 and 3 move rigidly together: fixed offset added to shared motion
+    base = rng.normal(size=(n_frames, 3))
+    coords[:, 1, :] = base
+    coords[:, 3, :] = base + np.array([0.1, 0.0, 0.0])
+    found = guess_pairwise_constraints(coords, threshold=1e-3)
+    assert found == {frozenset({1, 3})}
+
+
+def test_guess_pairwise_constraints_cross():
+    rng = np.random.default_rng(4)
+    coords = rng.normal(size=(40, 4, 3))
+    other = rng.normal(size=(40, 2, 3))
+    other[:, 1, :] = coords[:, 2, :] + np.array([0.0, 0.2, 0.0])
+    found = guess_pairwise_constraints(coords, cross_xyz=other, threshold=1e-3)
+    assert found == {(1, 2)}
