@@ -158,6 +158,19 @@ class ComposedTMap(TMap):
         """Return submap ``idx``."""
         return self.submaps[idx]
 
+    def map_arrays(
+        self,
+        coords: np.ndarray,
+        forces: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Map arrays; ``forces`` may be None when the innermost submap
+        tolerates coordinate-only input (e.g. NullForcesTMap)."""
+        if forces is None:
+            derived = self(CoordsTrajectory(coords=coords))
+        else:
+            derived = self(Trajectory(coords=coords, forces=forces))
+        return derived.coords, derived.forces
+
     def astype(self, *args, **kwargs) -> "ComposedTMap":
         """Cast every submap."""
         return self.__class__(

@@ -259,6 +259,7 @@ def qp_feat_linear_map(
         coefs=per_site_coef,
         mapping=coord_map,
         constraints=constraints,
+        kbt=kbt,
         tags={"feat_names": names, "coef_list": per_site_coef},
     )
     return CLAFTMap(coord_map=coord_map, force_map=force_map)
@@ -269,13 +270,20 @@ def _feat_linear_mapping(
     coefs: List[np.ndarray],
     mapping: LinearMap,
     constraints: Constraints,
+    kbt: float = 1.0,
     **kwargs,
 ) -> CLAMap:
     """Package per-site feature coefficients as a CLAMap.
 
     The returned map re-runs the featurizer on new coordinates at apply time:
     scale weights are feature/coefficient contractions, translations come
-    from the divergence term.
+    from the kbt-scaled divergence term.
+
+    Note: the optimization objective contains the divergence as ``kbt * div``
+    (reference qp/featlinearmap.py:361-368), so the applied map must carry
+    the same scaling; the reference's apply path drops the kbt factor
+    (reference qp/featlinearmap.py:492-495), which is inconsistent with its
+    own fit objective — fixed here.
     """
 
     def scale_f(copoints: np.ndarray) -> np.ndarray:
@@ -285,7 +293,9 @@ def _feat_linear_mapping(
 
     def trans_f(copoints: np.ndarray) -> np.ndarray:
         divs = featurizer(copoints, mapping, constraints)[KNAME_DIVS]
-        weights = [np.einsum("tka,k->ta", d, c) for d, c in zip(divs, coefs)]
+        weights = [
+            kbt * np.einsum("tka,k->ta", d, c) for d, c in zip(divs, coefs)
+        ]
         return np.stack(weights, axis=1)
 
     return CLAMap(

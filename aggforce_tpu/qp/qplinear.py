@@ -138,7 +138,23 @@ def qp_linear_map(
     if backend == "auto":
         backend = "host" if forces.dtype == np.float64 else "device"
 
-    if backend == "host":
+    if backend == "native":
+        from ..native import eqp_solve_native
+
+        design = qp_form(np.asarray(forces, dtype=np.float64)) @ con_mat
+        gram = design.T @ design
+        if l2_regularization > 0.0:
+            gram = gram + l2_regularization * (con_mat.T @ con_mat)
+        a_mat = np.asarray(coord_map.standard_matrix, dtype=np.float64) @ con_mat
+        x = eqp_solve_native(
+            gram,
+            a_mat,
+            np.eye(a_mat.shape[0]),
+            delta=opts.get("delta", 1e-11),
+            refine_iters=opts.get("refine_iters", 4),
+        )
+        fmap_mat = (con_mat @ x).T.astype(np.asarray(forces).dtype)
+    elif backend == "host":
         fmap_mat = _host_linear_fit(
             forces,
             con_mat.astype(np.float64),

@@ -1,0 +1,121 @@
+"""Benchmark: featurized QP force-map fit (the BASELINE.json north-star config).
+
+Config #3 of BASELINE.md: CLN025-scale system (175 atoms), 10k frames,
+id_feat + 7-basis gb_feat featurization, l2_regularization=1e3 — fit end to
+end on the available accelerator via the fused device-resident path.
+
+Prints ONE JSON line:
+  metric       featurized QP fit throughput
+  value        frames/sec/chip (fit wall-clock, steady-state, incl. H2D)
+  vs_baseline  value / 125 — the north-star target is the 10k-frame fit in
+               <10 s on a v5e-8 slice, i.e. 125 frames/sec/chip; >1 beats it.
+
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_fixture(n_frames: int):
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms
+    from aggforce_tpu.utils.synth import (
+        synthesize_protein_fixture,
+        synthesize_trajectory,
+    )
+
+    pdb = "/root/reference/tests/data/cln025.pdb"
+    if os.path.exists(pdb):
+        fix = synthesize_protein_fixture(pdb, n_frames=n_frames, seed=2024)
+        cmap = LinearMap(ca_map_from_pdb(pdb), n_fg_sites=n_atoms(pdb))
+        return fix, cmap
+    # standalone fallback: 175-atom synthetic system, 10 cg sites
+    rng = np.random.default_rng(0)
+    n_sites = 175
+    base = rng.normal(scale=0.5, size=(n_sites, 3))
+    groups = [frozenset((i, i + 1)) for i in range(0, 60, 2)]
+    coords, forces = synthesize_trajectory(base, groups, n_frames, seed=2024)
+    fix = {
+        "coords": coords,
+        "forces": forces,
+        "kbt": 0.6955215,
+        "constraint_groups": groups,
+    }
+    cmap = LinearMap(
+        [[i] for i in range(0, n_sites, 18)], n_fg_sites=n_sites
+    )
+    return fix, cmap
+
+
+def main() -> None:
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
+    import jax
+
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    fix, cmap = build_fixture(n_frames)
+    traj = Trajectory(coords=fix["coords"], forces=fix["forces"])
+    constraints = set(fix["constraint_groups"])
+    kbt = float(fix["kbt"])
+    spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=7, width=1.0)
+    log(
+        f"fixture: {traj.coords.shape} frames x sites, "
+        f"{cmap.n_cg_sites} cg sites, {len(constraints)} constraint groups"
+    )
+
+    def fit():
+        return fused_gb_linear_map(
+            traj,
+            cmap,
+            kbt=kbt,
+            spec=spec,
+            constraints=constraints,
+            l2_regularization=1e3,
+            chunk_size=2048,
+            constraint_rng=np.random.default_rng(7),
+        )
+
+    t0 = time.perf_counter()
+    tmap = fit()
+    t_compile = time.perf_counter() - t0
+    log(f"first fit (incl. compile): {t_compile:.3f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tmap = fit()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    log(f"steady-state fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
+
+    # sanity: mapped forces finite, orthogonality approximately satisfied
+    sub = slice(0, 256)
+    mc, mf = tmap.map_arrays(traj.coords[sub], traj.forces[sub])
+    assert np.all(np.isfinite(mf)), "non-finite mapped forces"
+    log(f"mapped force residual (subset): {float(np.mean(mf**2)):.4f}")
+
+    value = n_frames / elapsed
+    out = {
+        "metric": "featurized_qp_fit_frames_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(value / 125.0, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Featurized force-map optimization: protocol path, fused path, parity."""
+
+import numpy as np
+import pytest
+
+from aggforce_tpu import LinearMap
+from aggforce_tpu.constraints import reduce_constraint_sets
+from aggforce_tpu.qp import (
+    Multifeaturize,
+    id_feat,
+    gb_feat,
+    qp_feat_linear_map,
+    qp_linear_map,
+)
+from aggforce_tpu.qp.featlinearmap import FeatZipper
+from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+from aggforce_tpu.trajectory import Trajectory
+from aggforce_tpu.utils import Curry
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(77)
+
+
+@pytest.fixture()
+def small_system(rng):
+    n_frames, n_fg = 120, 8
+    coords = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32) * 0.3
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    cmap = LinearMap([[0], [4]], n_fg_sites=n_fg)
+    constraints = {frozenset({1, 2}), frozenset({5, 6})}
+    return coords, forces, cmap, constraints
+
+
+def test_id_feat_structure(small_system):
+    coords, _, cmap, constraints = small_system
+    out = id_feat(coords, cmap, constraints)
+    feats = list(out["feats"])
+    divs = list(out["divs"])
+    assert len(feats) == cmap.n_cg_sites
+    f = feats[0]
+    n_groups = len(
+        reduce_constraint_sets(
+            constraints | {frozenset([i]) for i in range(8)}
+        )
+    )
+    assert f.shape == (coords.shape[0], 8, n_groups)
+    # one-hot rows; constrained pairs share a column
+    np.testing.assert_allclose(f.sum(axis=2), 1.0)
+    np.testing.assert_array_equal(f[:, 1, :], f[:, 2, :])
+    np.testing.assert_array_equal(f[:, 5, :], f[:, 6, :])
+    assert not (f[:, 1, :] == f[:, 5, :]).all()
+    assert (divs[0] == 0).all()
+
+
+def test_id_feat_return_ids(small_system):
+    coords, _, cmap, constraints = small_system
+    ids = id_feat(coords, cmap, constraints, return_ids=True)
+    assert ids.shape == (8,)
+    assert ids[1] == ids[2]
+    assert ids[5] == ids[6]
+    assert ids[0] != ids[1]
+
+
+def test_gb_feat_shapes_and_constraint_sharing(small_system):
+    coords, _, cmap, constraints = small_system
+    out = gb_feat(coords, cmap, constraints, outer=1.0, n_basis=5, lazy=False)
+    feats = out["feats"]
+    divs = out["divs"]
+    assert len(feats) == 2
+    t, n = coords.shape[:2]
+    ids = id_feat(coords, cmap, constraints, return_ids=True)
+    n_channels = ids.max() + 1
+    assert feats[0].shape == (t, n, 5 * n_channels)
+    assert divs[0].shape == (t, 5 * n_channels, 3)
+    # constrained (smeared) atoms have identical features
+    np.testing.assert_allclose(feats[0][:, 1, :], feats[0][:, 2, :], atol=1e-6)
+    # different cg sites give different features
+    assert not np.allclose(feats[0], feats[1])
+
+
+@pytest.mark.parametrize("method_pair", [("closed", "reorder"), ("closed", "basic")])
+def test_divergence_methods_agree(small_system, method_pair):
+    coords, _, cmap, _ = small_system
+    # constrain each cg atom to a partner: the smeared position then differs
+    # from the cg point, so the autodiff reference paths (which NaN at
+    # coincident points, as in the upstream implementation) stay finite.
+    constraints = {frozenset({0, 3}), frozenset({4, 7}), frozenset({1, 2})}
+    subset = coords[:6]
+    outs = []
+    for method in method_pair:
+        out = gb_feat(
+            subset, cmap, constraints, outer=1.0, n_basis=4, lazy=False,
+            div_method=method,
+        )
+        outs.append(np.stack(out["divs"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4, rtol=1e-3)
+
+
+def test_featzipper_concatenates(small_system):
+    coords, _, cmap, constraints = small_system
+    a = id_feat(coords, cmap, constraints)
+    b = gb_feat(coords, cmap, constraints, outer=1.0, n_basis=3, lazy=False)
+    na = a["feats"][0].shape[2]
+    nb = b["feats"][0].shape[2]
+    z = FeatZipper(content=[a, b])
+    feats = list(z["feats"])
+    divs = list(z["divs"])
+    assert len(feats) == cmap.n_cg_sites
+    assert feats[0].shape[2] == na + nb
+    assert divs[0].shape[1] == na + nb
+    np.testing.assert_array_equal(feats[0][..., :na], a["feats"][0])
+    assert z["names"] is None
+    with pytest.raises(KeyError):
+        z["bogus"]
+    assert z.keys() == frozenset({"feats", "divs", "names"})
+
+
+def test_multifeaturize_callable(small_system):
+    coords, _, cmap, constraints = small_system
+    m = Multifeaturize([id_feat, Curry(gb_feat, outer=1.0, n_basis=3, lazy=False)])
+    z = m(coords, cmap, constraints)
+    assert isinstance(z, FeatZipper)
+    repr(m), str(m)  # smoke
+
+
+def test_idfeat_qp_matches_linear_qp(small_system):
+    """id_feat-only featurized map == constrained linear map (both l2=0)."""
+    coords, forces, cmap, constraints = small_system
+    traj = Trajectory(coords=coords, forces=forces)
+    lin = qp_linear_map(
+        traj, cmap, constraints=constraints, solver_args={"backend": "host"}
+    )
+    feat = qp_feat_linear_map(
+        traj,
+        cmap,
+        featurizer=id_feat,
+        kbt=0.5,
+        constraints=constraints,
+        l2_regularization=0.0,
+        n_constraint_frames=10,
+        solver_args={"backend": "host"},
+        constraint_rng=np.random.default_rng(0),
+    )
+    _, lin_forces = lin.map_arrays(coords, forces)
+    _, feat_forces = feat.map_arrays(coords, forces)
+    np.testing.assert_allclose(lin_forces, feat_forces, atol=2e-3)
+
+
+def test_feat_map_satisfies_sampled_orthogonality(small_system):
+    coords, forces, cmap, constraints = small_system
+    traj = Trajectory(coords=coords, forces=forces)
+    m = Multifeaturize([id_feat, Curry(gb_feat, outer=1.0, n_basis=4, lazy=False)])
+    tmap = qp_feat_linear_map(
+        traj, cmap, featurizer=m, kbt=0.5, constraints=constraints,
+        l2_regularization=1.0,
+        constraint_rng=np.random.default_rng(0),
+        solver_args={"backend": "host"},
+    )
+    # scale weights applied to the coordinate map must reproduce identity rows
+    scale = tmap.force_map.scale(coords[:5])
+    proj = np.einsum("cj,tsj->tsc", cmap.standard_matrix, scale)
+    expect = np.broadcast_to(np.eye(2), (5, 2, 2))
+    np.testing.assert_allclose(proj, expect, atol=1e-3)
+
+
+def test_fused_matches_protocol(small_system):
+    """Fused device fit must agree with the protocol (host-oracle) fit."""
+    coords, forces, cmap, constraints = small_system
+    traj = Trajectory(coords=coords, forces=forces)
+    spec = GBFeatSpec(outer=1.0, inner=0.0, n_basis=4, width=1.0)
+    m = Multifeaturize(
+        [
+            id_feat,
+            Curry(
+                gb_feat,
+                outer=spec.outer,
+                inner=spec.inner,
+                n_basis=spec.n_basis,
+                width=spec.width,
+                dist_power=spec.dist_power,
+                lazy=False,
+            ),
+        ]
+    )
+    kbt = 0.5
+    # use every frame as a constraint frame so both paths share the same
+    # feasible set regardless of per-site sampling order
+    n_cf = len(coords)
+    proto = qp_feat_linear_map(
+        traj, cmap, featurizer=m, kbt=kbt, constraints=constraints,
+        l2_regularization=1.0,
+        constraint_rng=np.random.default_rng(42),
+        n_constraint_frames=n_cf,
+        solver_args={"backend": "host"},
+    )
+    fused = fused_gb_linear_map(
+        traj, cmap, kbt=kbt, spec=spec, constraints=constraints,
+        l2_regularization=1.0,
+        constraint_rng=np.random.default_rng(42),
+        n_constraint_frames=n_cf,
+    )
+    test_coords = coords[:30]
+    test_forces = forces[:30]
+    _, f_proto = proto.map_arrays(test_coords, test_forces)
+    _, f_fused = fused.map_arrays(test_coords, test_forces)
+    scale = np.abs(f_proto).mean()
+    np.testing.assert_allclose(f_fused, f_proto, atol=5e-3 * scale)
+
+
+def test_kbt_changes_divergence_term(small_system):
+    coords, forces, cmap, constraints = small_system
+    traj = Trajectory(coords=coords, forces=forces)
+    spec = GBFeatSpec(outer=1.0, n_basis=4)
+    maps = [
+        fused_gb_linear_map(
+            traj, cmap, kbt=k, spec=spec, constraints=constraints,
+            constraint_rng=np.random.default_rng(1),
+        )
+        for k in (0.1, 2.0)
+    ]
+    outs = [m.map_arrays(coords[:20], forces[:20])[1] for m in maps]
+    assert not np.allclose(outs[0], outs[1], atol=1e-5)

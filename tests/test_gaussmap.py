@@ -1,0 +1,218 @@
+"""Gaussian noised maps: structural invariants and statistical consistency.
+
+Mirrors the reference strategy (tests/test_gaussmap.py): stochastic maps are
+validated by distribution-level properties and by MSCG projections onto
+seeded random force-fields, not by exact golden values (the PRNG differs by
+construction).
+"""
+
+import numpy as np
+import pytest
+
+from aggforce_tpu import (
+    LinearMap,
+    joptgauss_map,
+    project_forces,
+    stagedjforcegauss_map,
+    stagedjoptgauss_map,
+    stagedjslicegauss_map,
+)
+from aggforce_tpu.agg import TMAP_KNAME
+from aggforce_tpu.map import ComposedTMap, SeperableTMap
+from aggforce_tpu.trajectory import CoordsTrajectory, Trajectory
+from aggforce_tpu import jaxmapval as mv
+
+KBT = 0.6955215
+VAR = 0.002
+
+
+@pytest.fixture(scope="module")
+def system(request):
+    """Small synthetic constrained system + CA-like slice map."""
+    cln_pdb = "/root/reference/tests/data/cln025.pdb"
+    import os
+
+    if not os.path.exists(cln_pdb):
+        pytest.skip("cln025.pdb unavailable")
+    from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms
+    from aggforce_tpu.utils.synth import synthesize_protein_fixture
+
+    fix = synthesize_protein_fixture(cln_pdb, n_frames=600, seed=99)
+    cmap = LinearMap(ca_map_from_pdb(cln_pdb), n_fg_sites=n_atoms(cln_pdb))
+    return fix, cmap
+
+
+def test_joptgauss_map_basic(system):
+    fix, cmap = system
+    traj = Trajectory(coords=fix["coords"][:300], forces=fix["forces"][:300])
+    tmap = joptgauss_map(
+        traj=traj,
+        coord_map=cmap,
+        var=VAR,
+        kbt=KBT,
+        constraints=set(fix["constraint_groups"]),
+        seed=10,
+    )
+    out = tmap(traj)
+    assert out.coords.shape == (300, cmap.n_cg_sites, 3)
+    assert np.isfinite(out.forces).all()
+    # mapped coords are noised versions of the linearly mapped coords
+    clean = cmap(traj.coords)
+    noise = out.coords - clean
+    np.testing.assert_allclose(noise.mean(), 0.0, atol=5e-4)
+    np.testing.assert_allclose(noise.var(), VAR, rtol=0.15)
+    # stochastic: two applications differ
+    out2 = tmap(traj)
+    assert not np.allclose(out.coords, out2.coords)
+
+
+def test_joptgauss_through_project_forces(system):
+    fix, cmap = system
+    res = project_forces(
+        coords=fix["coords"][:200],
+        forces=fix["forces"][:200],
+        coord_map=cmap,
+        constrained_inds=set(fix["constraint_groups"]),
+        method=joptgauss_map,
+        var=VAR,
+        kbt=KBT,
+        seed=3,
+    )
+    assert res[TMAP_KNAME] is not None
+    assert np.isfinite(res["mapped_forces"]).all()
+
+
+def test_stagedjoptgauss_structure(system):
+    fix, cmap = system
+    traj = Trajectory(coords=fix["coords"][:300], forces=fix["forces"][:300])
+    tmap = stagedjoptgauss_map(
+        traj=traj,
+        coord_map=cmap,
+        var=VAR,
+        kbt=KBT,
+        constraints=set(fix["constraint_groups"]),
+        seed=5,
+    )
+    assert isinstance(tmap, ComposedTMap)
+    assert len(tmap.submaps) == 2
+    assert isinstance(tmap[1], SeperableTMap)
+    # pre-map alone coarse-grains deterministically
+    pre_out = tmap[1](traj)
+    assert pre_out.coords.shape == (300, cmap.n_cg_sites, 3)
+    full_out = tmap(traj)
+    assert full_out.coords.shape == (300, cmap.n_cg_sites, 3)
+    # composed application == post(pre(traj)) in distribution; check shapes
+    # and that the noised coords center on the pre-mapped coords
+    noise = full_out.coords - pre_out.coords
+    np.testing.assert_allclose(noise.mean(), 0.0, atol=5e-4)
+    np.testing.assert_allclose(noise.var(), VAR, rtol=0.2)
+
+
+def test_stagedjslicegauss_coords_only(system):
+    fix, cmap = system
+    coords = fix["coords"][:150]
+    tmap = stagedjslicegauss_map(
+        traj=CoordsTrajectory(coords=coords),
+        coord_map=cmap,
+        var=VAR,
+        kbt=KBT,
+        seed=8,
+        warn_input_forces=False,
+    )
+    assert isinstance(tmap, ComposedTMap)
+    assert len(tmap.submaps) == 3
+    out_c, out_f = tmap[2].map_arrays(coords)  # NullForces stage accepts no forces
+    assert np.isnan(out_f).all()
+    mapped_c, mapped_f = tmap.map_arrays(coords, None)
+    assert mapped_c.shape == (150, cmap.n_cg_sites, 3)
+    # forces are purely noise-derived: -(y - x)/var * kbt
+    assert np.isfinite(mapped_f).all()
+    resid = mapped_c - cmap(coords)
+    np.testing.assert_allclose(mapped_f, -KBT * resid / VAR, atol=1e-3)
+
+
+def test_stagedjslicegauss_map_arrays_with_forces_warns(system):
+    fix, cmap = system
+    coords = fix["coords"][:50]
+    with pytest.warns(UserWarning):
+        stagedjslicegauss_map(
+            traj=Trajectory(coords=coords, forces=np.zeros_like(coords)),
+            coord_map=cmap,
+            var=VAR,
+            kbt=KBT,
+            seed=8,
+            warn_input_forces=True,
+        )
+
+
+def test_stagedjforcegauss_minimizes_noise(system):
+    fix, cmap = system
+    traj = Trajectory(coords=fix["coords"][:300], forces=fix["forces"][:300])
+    tmap = stagedjforcegauss_map(
+        traj=traj,
+        coord_map=cmap,
+        var=VAR,
+        kbt=KBT,
+        constraints=set(fix["constraint_groups"]),
+        seed=4,
+    )
+    pre_forces = tmap[1](traj).forces
+    full = tmap(traj)
+    # the noise force contribution is optimized to (near) zero: mapped forces
+    # must essentially reproduce the deterministic premap forces
+    err = np.abs(full.forces - pre_forces).max()
+    scale = np.abs(pre_forces).std()
+    assert err < 2e-2 * scale, (err, scale)
+
+
+def test_gauss_vs_staged_mscg_consistency(system):
+    """The two optimized gauss maps must agree on MSCG projections.
+
+    This is the reference's correctness-without-ground-truth check
+    (tests/test_gaussmap.py): projections of mapped forces from two
+    different valid maps onto random CG force-fields estimate the same
+    functional, so they must correlate strongly across many random bases.
+    """
+    fix, cmap = system
+    constraints = set(fix["constraint_groups"])
+    coords, forces = fix["coords"], fix["forces"]
+    train = Trajectory(coords=coords[:400], forces=forces[:400])
+    test_c, test_f = coords[400:], forces[400:]
+
+    t_a = joptgauss_map(
+        traj=train, coord_map=cmap, var=VAR, kbt=KBT,
+        constraints=constraints, seed=0,
+    )
+    t_b = stagedjoptgauss_map(
+        traj=train, coord_map=cmap, var=VAR, kbt=KBT,
+        constraints=constraints, seed=1,
+    )
+
+    # build a large stochastic sample of mapped data for both maps
+    def projections(tmap, n_repeat=30, seed=1234):
+        mc, mf = [], []
+        for _ in range(n_repeat):
+            c, f = tmap.map_arrays(test_c, test_f)
+            mc.append(c)
+            mf.append(f)
+        mc_all = np.concatenate(mc)
+        mf_all = np.concatenate(mf)
+        return np.array(
+            mv.random_force_proj(
+                coords=mc_all,
+                forces=mf_all,
+                n_samples=60,
+                randg=np.random.default_rng(seed),
+                average=False,
+                inner=0.2,
+                outer=1.2,
+                width=0.5,
+            )
+        )
+
+    pa = projections(t_a)
+    pb = projections(t_b)
+    corr = np.corrcoef(pa, pb)[0, 1]
+    rel_diff = abs(pa.mean() - pb.mean()) / (abs(pa.mean()) + 1e-12)
+    assert corr > 0.9, (corr, rel_diff)
+    assert rel_diff < 0.1, (corr, rel_diff)

@@ -1,0 +1,70 @@
+"""Mesh-sharded fits on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from aggforce_tpu import LinearMap
+from aggforce_tpu.agg import force_smoothness
+from aggforce_tpu.parallel import (
+    make_mesh,
+    sharded_force_smoothness,
+    sharded_linear_fit,
+)
+from aggforce_tpu.qp import qp_linear_map
+from aggforce_tpu.qp.qplinear import make_bond_constraint_matrix
+from aggforce_tpu.trajectory import Trajectory
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual) mesh"
+)
+
+
+@needs_mesh
+def test_sharded_linear_fit_matches_single_device():
+    rng = np.random.default_rng(0)
+    n_frames, n_fg = 203, 9  # deliberately not divisible by the mesh size
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    coords = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    constraints = {frozenset({1, 2})}
+    cmap = LinearMap([[0], [4]], n_fg_sites=n_fg)
+    con_mat = make_bond_constraint_matrix(n_fg, constraints)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    sharded = sharded_linear_fit(
+        forces, con_mat.astype(np.float32), cmap.standard_matrix.astype(np.float32),
+        l2_regularization=0.5, mesh=mesh,
+    )
+    single = qp_linear_map(
+        Trajectory(coords=coords, forces=forces),
+        cmap,
+        constraints=constraints,
+        l2_regularization=0.5,
+        solver_args={"backend": "host"},
+    ).force_map.standard_matrix
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+@needs_mesh
+def test_sharded_force_smoothness():
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(101, 5, 3)).astype(np.float32)
+    got = sharded_force_smoothness(arr, mesh=make_mesh())
+    np.testing.assert_allclose(got, force_smoothness(arr), rtol=1e-5)
+
+
+@needs_mesh
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (4, 24)
