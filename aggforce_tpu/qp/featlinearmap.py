@@ -199,6 +199,7 @@ def qp_feat_linear_map(
     solver_args: Optional[Union[SolverOptions, dict]] = None,
     l2_regularization: float = 1e1,
     constraint_rng: Optional[np.random.Generator] = None,
+    allow_fused: bool = True,
 ) -> CLAFTMap:
     """Optimize a force map linear in user-provided configuration features.
 
@@ -206,10 +207,31 @@ def qp_feat_linear_map(
     accepted but ignored (the KKT solver needs no sparsification), and
     ``constraint_rng`` additionally allows deterministic constraint-frame
     sampling.
+
+    When the featurizer is recognized as the canonical id+gb combination and
+    no explicit solver backend is requested, the fit is dispatched to the
+    fully fused device path (same optimization, no feature materialization);
+    pass ``allow_fused=False`` to force the generic protocol path.
     """
     if constraints is None:
         constraints = set()
     opts = _solver_opts(dict(solver_args) if solver_args else None)
+
+    if allow_fused and opts.get("backend", "auto") == "auto":
+        from .fusedfeat import fused_gb_linear_map, recognize_canonical_featurizer
+
+        spec = recognize_canonical_featurizer(featurizer)
+        if spec is not None:
+            return fused_gb_linear_map(
+                traj,
+                coord_map,
+                kbt=kbt,
+                spec=spec,
+                constraints=constraints,
+                n_constraint_frames=n_constraint_frames,
+                l2_regularization=l2_regularization,
+                constraint_rng=constraint_rng,
+            )
 
     feat_results = featurizer(traj.coords, coord_map, constraints)
     feats = feat_results[KNAME_FEATS]

@@ -30,9 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constraints import Constraints, reduce_constraint_sets
+from ..constraints import Constraints
 from ..map import CLAFTMap, CLAMap, LinearMap
-from ..map.tools import smear_map
 from ..ops.eqp import batched_eqp_solve
 from ..trajectory import Trajectory
 from .featlinearmap import id_feat
@@ -59,33 +58,41 @@ def _basis_centers(spec: GBFeatSpec) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def _site_feature_blocks(
+def _group_feature_blocks(
     coords: jax.Array,  # (t, N, 3) chunk
     cg_points: jax.Array,  # (t, S, 3)
-    smear: jax.Array,  # (N, N)
-    onehot: jax.Array,  # (N, G)
+    group_mean: jax.Array,  # (G, N): row g averages the members of group g
+    counts: jax.Array,  # (G,) group sizes
     centers: jax.Array,  # (K,)
     spec: GBFeatSpec,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-chunk Gaussian basis values and closed-form divergence factors.
+    """Per-GROUP Gaussian basis values and closed-form divergences.
 
-    Returns (gauss, div) with gauss (t, S, N, K) and div (t, S, G*K, 3)
-    where S indexes cg sites and G channel groups.
+    Key structural fact: smearing assigns every member of a constraint group
+    its group-mean position, and channels coincide with groups — so all
+    members share identical features. Everything therefore reduces from
+    per-atom (N) to per-group (G) tensors:
+
+        gauss[t, s, g, k]   — basis value of group g's mean position
+        div[t, s, g, k, a]  = count[g] * phi_k'(d) * unit_vector
+
+    (the count factor is the sum over the group's identical member
+    contributions). This is an O(N/G) compute and memory reduction over the
+    naive per-atom channelized form, with no approximation.
     """
-    s = jnp.einsum("ij,tjd->tid", smear, coords, precision="highest")
-    disp = s[:, None, :, :] - cg_points[:, :, None, :]  # (t, S, N, 3)
-    d = jnp.sqrt(jnp.sum(disp * disp, axis=-1))  # (t, S, N)
-    offset = (d[..., None] - centers) / spec.width  # (t, S, N, K)
+    gpos = jnp.einsum("gj,tjd->tgd", group_mean, coords, precision="highest")
+    disp = gpos[:, None, :, :] - cg_points[:, :, None, :]  # (t, S, G, 3)
+    d = jnp.sqrt(jnp.sum(disp * disp, axis=-1))  # (t, S, G)
+    offset = (d[..., None] - centers) / spec.width  # (t, S, G, K)
     raw = jnp.exp(-(offset**2))
     gauss = jnp.maximum(raw, spec.clip) - spec.clip
-    # closed-form divergence: dphi * unit-vector, channel-aggregated via
-    # SC[j, g] = sum_{m in channel g} smear[j, m]
     u = disp / jnp.maximum(d, 1e-30)[..., None]
     dphi = jnp.where(raw > spec.clip, raw * (-2.0 * offset / spec.width), 0.0)
-    sc = jnp.matmul(smear, onehot, precision="highest")  # (N, G)
-    div = jnp.einsum("tsjk,tsja,jg->tsgka", dphi, u, sc, precision="highest")
-    t, s_dim = div.shape[0], div.shape[1]
-    div = div.reshape(t, s_dim, -1, 3)  # (t, S, G*K, 3)
+    div = (
+        counts[None, None, :, None, None]
+        * dphi[..., None]
+        * u[..., None, :]
+    )  # (t, S, G, K, 3)
     return gauss, div
 
 
@@ -95,27 +102,34 @@ def _chunk_gram(
     forces: jax.Array,  # (t, N, 3)
     mask: jax.Array,  # (t,) 1.0 for valid frames
     cg_points: jax.Array,  # (t, S, 3)
-    smear: jax.Array,
-    onehot: jax.Array,
+    group_mean: jax.Array,  # (G, N)
+    onehot: jax.Array,  # (N, G)
+    counts: jax.Array,  # (G,)
     centers: jax.Array,
     kbt: jax.Array,
     spec: GBFeatSpec,
 ) -> jax.Array:
-    """Per-site Gram contribution of one frame chunk: (S, K_exp, K_exp)."""
-    gauss, div = _site_feature_blocks(
-        coords, cg_points, smear, onehot, centers, spec
+    """Per-site Gram contribution of one frame chunk: (S, K_exp, K_exp).
+
+    The design row for (frame t, Cartesian a) at site s is
+    [ Fg[t,:,a] | Fg[t,g,a]*gauss[t,s,g,k] + kbt*div[t,s,g,k,a] ] where
+    Fg = onehot^T F are per-group force sums — one small GEMM plus an outer
+    product, then one batched GEMM for the Gram itself.
+    """
+    gauss, div = _group_feature_blocks(
+        coords, cg_points, group_mean, counts, centers, spec
     )
-    # gb force contraction: g_gb[t,s,a,(g,k)] = sum_j F[t,j,a] oh[j,g] gz[t,s,j,k]
-    g_gb = jnp.einsum(
-        "tja,jg,tsjk->tsagk", forces, onehot, gauss, precision="highest"
-    )
+    fg = jnp.einsum("tja,jg->tga", forces, onehot, precision="highest")
+    # outer product: (t,S,3,G,K)
+    g_gb = fg[:, None, :, :].transpose(0, 1, 3, 2)[..., None] * gauss[
+        :, :, None, :, :
+    ]
+    g_gb = g_gb + kbt * jnp.moveaxis(div, -1, 2)  # div (t,S,G,K,3)->(t,S,3,G,K)
     t, s_dim = g_gb.shape[0], g_gb.shape[1]
     g_gb = g_gb.reshape(t, s_dim, 3, -1)
-    g_gb = g_gb + kbt * jnp.swapaxes(div, 2, 3)
     if spec.include_id:
-        g_id = jnp.einsum("tja,jg->tag", forces, onehot, precision="highest")
         g_id = jnp.broadcast_to(
-            g_id[:, None, :, :], (t, s_dim) + g_id.shape[1:]
+            jnp.swapaxes(fg, 1, 2)[:, None], (t, s_dim, 3, fg.shape[1])
         )
         g_all = jnp.concatenate([g_id, g_gb], axis=-1)  # (t, S, 3, K_exp)
     else:
@@ -129,25 +143,24 @@ def _constraint_rows(
     coords: jax.Array,  # (tc, N, 3) sampled frames
     cg_points: jax.Array,  # (tc, S, 3)
     cmap_mat: jax.Array,  # (S, N)
-    smear: jax.Array,
+    group_mean: jax.Array,
     onehot: jax.Array,
+    counts: jax.Array,
     centers: jax.Array,
     spec: GBFeatSpec,
 ) -> jax.Array:
     """Sampled orthogonality rows per site: (S, tc*S, K_exp)."""
-    gauss, _ = _site_feature_blocks(
-        coords, cg_points, smear, onehot, centers, spec
+    gauss, _ = _group_feature_blocks(
+        coords, cg_points, group_mean, counts, centers, spec
     )
-    # rows_gb[t,s,c,(g,k)] = sum_j M[c,j] oh[j,g] gauss[t,s,j,k]
-    rows_gb = jnp.einsum(
-        "cj,jg,tsjk->tscgk", cmap_mat, onehot, gauss, precision="highest"
-    )
+    mg = jnp.matmul(cmap_mat, onehot, precision="highest")  # (c, G)
+    # rows_gb[t,s,c,(g,k)] = Mg[c,g] * gauss[t,s,g,k]
+    rows_gb = mg[None, None, :, :, None] * gauss[:, :, None, :, :]
     tc, s_dim, c_dim = rows_gb.shape[0], rows_gb.shape[1], rows_gb.shape[2]
     rows_gb = rows_gb.reshape(tc, s_dim, c_dim, -1)
     if spec.include_id:
-        rows_id = jnp.matmul(cmap_mat, onehot, precision="highest")  # (c, G)
         rows_id = jnp.broadcast_to(
-            rows_id[None, None, :, :], (tc, s_dim) + rows_id.shape
+            mg[None, None, :, :], (tc, s_dim) + mg.shape
         )
         rows = jnp.concatenate([rows_id, rows_gb], axis=-1)
     else:
@@ -157,29 +170,24 @@ def _constraint_rows(
     return rows.reshape(s_dim, tc * c_dim, -1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "n_chunks", "refine_iters"),
-)
-def _fused_fit(
-    coords: jax.Array,  # (T_pad, N, 3)
-    forces: jax.Array,  # (T_pad, N, 3)
-    mask: jax.Array,  # (T_pad,)
-    constr_coords: jax.Array,  # (tc, N, 3)
-    cmap_mat: jax.Array,  # (S, N)
-    smear: jax.Array,
+def _scan_gram(
+    coords: jax.Array,
+    forces: jax.Array,
+    mask: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
     onehot: jax.Array,
+    counts: jax.Array,
     centers: jax.Array,
     kbt: jax.Array,
-    l2_regularization: jax.Array,
     spec: GBFeatSpec,
     n_chunks: int,
-    delta: float = 1e-6,
-    refine_iters: int = 8,
+    vary_axis: Optional[str] = None,
 ) -> jax.Array:
-    """End-to-end fused fit: scan Gram accumulation + batched KKT solve.
+    """Accumulate per-site Grams over frame chunks with lax.scan.
 
-    Returns per-site coefficients (S, K_exp).
+    ``vary_axis`` marks the carry as device-varying when called inside a
+    shard_map over that mesh axis (required by the scan carry typing).
     """
     t_pad, n = coords.shape[0], coords.shape[1]
     s_dim = cmap_mat.shape[0]
@@ -187,7 +195,6 @@ def _fused_fit(
         onehot.shape[1] if spec.include_id else 0
     )
     chunk = t_pad // n_chunks
-
     coords_c = coords.reshape(n_chunks, chunk, n, 3)
     forces_c = forces.reshape(n_chunks, chunk, n, 3)
     mask_c = mask.reshape(n_chunks, chunk)
@@ -196,28 +203,84 @@ def _fused_fit(
         cc, fc, mc = inp
         cg = jnp.einsum("sj,tjd->tsd", cmap_mat, cc, precision="highest")
         gram = gram + _chunk_gram(
-            cc, fc, mc, cg, smear, onehot, centers, kbt, spec
+            cc, fc, mc, cg, group_mean, onehot, counts, centers, kbt, spec
         )
         return gram, None
 
     gram0 = jnp.zeros((s_dim, k_exp, k_exp), dtype=coords.dtype)
+    if vary_axis is not None:
+        gram0 = jax.lax.pvary(gram0, (vary_axis,))
     gram, _ = jax.lax.scan(body, gram0, (coords_c, forces_c, mask_c))
+    return gram
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_chunks", "mesh"),
+)
+def _fused_fit_parts(
+    coords: jax.Array,  # (T_pad, N, 3)
+    forces: jax.Array,  # (T_pad, N, 3)
+    mask: jax.Array,  # (T_pad,)
+    constr_coords: jax.Array,  # (tc, N, 3)
+    cmap_mat: jax.Array,  # (S, N)
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    mesh=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused assembly of the per-site QPs: (gram, constraint rows, targets).
+
+    With ``mesh`` given (a 1-D Mesh over axis "frames"), the frame axis is
+    sharded: each device scans its local chunks and one psum over the ICI
+    combines the per-site Grams; the small constraint stage is replicated.
+    """
+    s_dim = cmap_mat.shape[0]
+    k_exp = spec.n_basis * onehot.shape[1] + (
+        onehot.shape[1] if spec.include_id else 0
+    )
+    if mesh is None:
+        gram = _scan_gram(
+            coords, forces, mask, cmap_mat, group_mean, onehot, counts,
+            centers, kbt, spec, n_chunks,
+        )
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.devices.size
+
+        def local(cc, fc, mc):
+            g = _scan_gram(
+                cc, fc, mc, cmap_mat, group_mean, onehot, counts, centers,
+                kbt, spec, n_chunks // n_dev, vary_axis="frames",
+            )
+            return jax.lax.psum(g, "frames")
+
+        gram = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("frames"), P("frames"), P("frames")),
+            out_specs=P(),
+        )(coords, forces, mask)
     gram = gram + l2_regularization * jnp.eye(k_exp, dtype=coords.dtype)
 
     cg_constr = jnp.einsum(
         "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
     )
     a_rows = _constraint_rows(
-        constr_coords, cg_constr, cmap_mat, smear, onehot, centers, spec
+        constr_coords, cg_constr, cmap_mat, group_mean, onehot, counts,
+        centers, spec,
     )  # (S, tc*S, K_exp)
     tc = constr_coords.shape[0]
     # b[s, (t, c)] = 1 when c == s
     b = jnp.eye(s_dim, dtype=coords.dtype)[:, None, :]  # (S, 1, S)
     b = jnp.broadcast_to(b, (s_dim, tc, s_dim)).reshape(s_dim, tc * s_dim)
-    coefs = batched_eqp_solve(
-        gram, a_rows, b[..., None], delta=delta, refine_iters=refine_iters
-    )
-    return coefs[..., 0]  # (S, K_exp)
+    return gram, a_rows, b
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -225,28 +288,30 @@ def _fused_scale(
     copoints: jax.Array,  # (t, N, 3)
     coefs: jax.Array,  # (S, K_exp)
     cmap_mat: jax.Array,
-    smear: jax.Array,
+    group_mean: jax.Array,
     onehot: jax.Array,
+    counts: jax.Array,
     centers: jax.Array,
     spec: GBFeatSpec,
 ) -> jax.Array:
-    """Per-frame scale weights w[t, s, j] = sum_f feat[t,j,f] coef[s,f]."""
+    """Per-frame scale weights w[t, s, j] = sum_f feat[t,j,f] coef[s,f].
+
+    Computed per group then broadcast to member atoms through the one-hot.
+    """
     cg = jnp.einsum("sj,tjd->tsd", cmap_mat, copoints, precision="highest")
-    gauss, _ = _site_feature_blocks(copoints, cg, smear, onehot, centers, spec)
+    gauss, _ = _group_feature_blocks(
+        copoints, cg, group_mean, counts, centers, spec
+    )  # gauss (t, S, G, K)
     g = onehot.shape[1]
     if spec.include_id:
         coef_id, coef_gb = coefs[:, :g], coefs[:, g:]
     else:
         coef_id, coef_gb = None, coefs
     coef_gb = coef_gb.reshape(coefs.shape[0], g, spec.n_basis)
-    w = jnp.einsum(
-        "tsjk,jg,sgk->tsj", gauss, onehot, coef_gb, precision="highest"
-    )
+    w_group = jnp.einsum("tsgk,sgk->tsg", gauss, coef_gb, precision="highest")
     if coef_id is not None:
-        w = w + jnp.einsum("jg,sg->sj", onehot, coef_id, precision="highest")[
-            None
-        ]
-    return w
+        w_group = w_group + coef_id[None]
+    return jnp.einsum("tsg,jg->tsj", w_group, onehot, precision="highest")
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -254,19 +319,23 @@ def _fused_trans(
     copoints: jax.Array,
     coefs: jax.Array,
     cmap_mat: jax.Array,
-    smear: jax.Array,
+    group_mean: jax.Array,
     onehot: jax.Array,
+    counts: jax.Array,
     centers: jax.Array,
     kbt: jax.Array,
     spec: GBFeatSpec,
 ) -> jax.Array:
     """Divergence translation term: (t, S, 3)."""
     cg = jnp.einsum("sj,tjd->tsd", cmap_mat, copoints, precision="highest")
-    _, div = _site_feature_blocks(copoints, cg, smear, onehot, centers, spec)
+    _, div = _group_feature_blocks(
+        copoints, cg, group_mean, counts, centers, spec
+    )  # div (t, S, G, K, 3)
     g = onehot.shape[1]
     coef_gb = coefs[:, g:] if spec.include_id else coefs
+    coef_gb = coef_gb.reshape(coefs.shape[0], g, spec.n_basis)
     return kbt * jnp.einsum(
-        "tsfa,sf->tsa", div, coef_gb, precision="highest"
+        "tsgka,sgk->tsa", div, coef_gb, precision="highest"
     )
 
 
@@ -285,18 +354,22 @@ class FusedGBMap(CLAMap):
         self,
         coefs: np.ndarray,
         cmap_mat: np.ndarray,
-        smear: np.ndarray,
         onehot: np.ndarray,
         centers: np.ndarray,
         kbt: float,
         spec: GBFeatSpec,
         tags=None,
     ) -> None:
-        """Store fit artifacts; shapes are validated by a zero-probe."""
+        """Store fit artifacts (group structure derives from the one-hot)."""
         self._coefs = jnp.asarray(coefs)
         self._cmap_mat = jnp.asarray(cmap_mat)
-        self._smear = jnp.asarray(smear)
         self._onehot = jnp.asarray(onehot)
+        counts = np.asarray(onehot).sum(axis=0)
+        self._counts = jnp.asarray(counts, dtype=self._coefs.dtype)
+        self._group_mean = jnp.asarray(
+            (np.asarray(onehot) / np.maximum(counts, 1.0)).T,
+            dtype=self._coefs.dtype,
+        )
         self._centers = jnp.asarray(centers)
         self._kbt = jnp.asarray(kbt, dtype=self._coefs.dtype)
         self._spec = spec
@@ -307,8 +380,9 @@ class FusedGBMap(CLAMap):
                     jnp.asarray(copoints, dtype=self._coefs.dtype),
                     self._coefs,
                     self._cmap_mat,
-                    self._smear,
+                    self._group_mean,
                     self._onehot,
+                    self._counts,
                     self._centers,
                     spec,
                 )
@@ -320,8 +394,9 @@ class FusedGBMap(CLAMap):
                     jnp.asarray(copoints, dtype=self._coefs.dtype),
                     self._coefs,
                     self._cmap_mat,
-                    self._smear,
+                    self._group_mean,
                     self._onehot,
+                    self._counts,
                     self._centers,
                     self._kbt,
                     spec,
@@ -338,6 +413,46 @@ class FusedGBMap(CLAMap):
         )
 
 
+def recognize_canonical_featurizer(featurizer) -> Optional[GBFeatSpec]:
+    """Detect the canonical id_feat+gb_feat featurizer and extract its spec.
+
+    Recognized shapes: ``Multifeaturize([id_feat, Curry(gb_feat, ...)])``
+    (in either order) and a bare ``Curry(gb_feat, ...)``. Returns None for
+    anything else (the protocol path handles those).
+    """
+    from ..utils.funcs import Curry
+    from .featlinearmap import Multifeaturize, id_feat as _id_feat
+    from .jaxfeat import DIVMETHOD_CLOSED, gb_feat as _gb_feat
+
+    def curry_spec(obj, include_id: bool) -> Optional[GBFeatSpec]:
+        if not (isinstance(obj, Curry) and obj.func is _gb_feat and not obj.args):
+            return None
+        kw = dict(obj.kwargs)
+        # options that do not change the math are irrelevant here
+        kw.pop("batch_size", None)
+        kw.pop("lazy", None)
+        if kw.pop("div_method", DIVMETHOD_CLOSED) != DIVMETHOD_CLOSED:
+            return None
+        if "outer" not in kw:
+            return None
+        allowed = {"outer", "inner", "n_basis", "width", "dist_power"}
+        if not set(kw) <= allowed:
+            return None
+        return GBFeatSpec(include_id=include_id, **kw)
+
+    if isinstance(featurizer, Multifeaturize):
+        subs = list(featurizer.featurizers)
+        if len(subs) == 2 and _id_feat in subs:
+            other = subs[1] if subs[0] is _id_feat else subs[0]
+            if subs[0] is not _id_feat:
+                # fused layout places id features first; only the canonical
+                # [id_feat, gb] ordering maps onto it
+                return None
+            return curry_spec(other, include_id=True)
+        return None
+    return curry_spec(featurizer, include_id=False)
+
+
 def fused_gb_linear_map(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -350,13 +465,15 @@ def fused_gb_linear_map(
     constraint_rng: Optional[np.random.Generator] = None,
     delta: float = 1e-6,
     refine_iters: int = 8,
+    mesh=None,
 ) -> CLAFTMap:
     """Device-resident featurized fit for the canonical id+gb featurization.
 
     Produces the same optimization as ``qp_feat_linear_map`` with
     ``Multifeaturize([id_feat, gb_feat(**spec)])`` but never materializes the
     expanded feature tensors — the hot path is one scanned fused kernel plus
-    a batched KKT solve, all on device.
+    a batched KKT solve, all on device. Passing a 1-D ``mesh`` (axis
+    "frames") shards the frame axis across devices with a psum'd Gram.
     """
     if constraints is None:
         constraints = set()
@@ -364,20 +481,14 @@ def fused_gb_linear_map(
     n_channels = int(ids.max()) + 1
     onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
     onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
-    smear = np.asarray(
-        smear_map(
-            site_groups=reduce_constraint_sets(constraints),
-            n_sites=coord_map.n_fg_sites,
-            return_mapping_matrix=True,
-        ),
-        dtype=np.float32,
-    )
+    counts = onehot.sum(axis=0)
+    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
     centers = _basis_centers(spec).astype(np.float32)
 
     t = len(traj)
-    n_chunks = max(1, -(-t // chunk_size))
-    t_pad = n_chunks * ((t + n_chunks - 1) // n_chunks)
-    chunk = t_pad // n_chunks
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    n_chunks = n_dev * max(1, -(-t // (n_dev * chunk_size)))
+    chunk = -(-t // n_chunks)
     t_pad = chunk * n_chunks
     pad = t_pad - t
 
@@ -394,29 +505,55 @@ def fused_gb_linear_map(
     constr_coords = traj.coords[frame_idx]
 
     dtype = jnp.float32
-    coefs = _fused_fit(
-        jnp.asarray(coords, dtype=dtype),
-        jnp.asarray(forces, dtype=dtype),
-        jnp.asarray(mask, dtype=dtype),
+    coords_dev = jnp.asarray(coords, dtype=dtype)
+    forces_dev = jnp.asarray(forces, dtype=dtype)
+    mask_dev = jnp.asarray(mask, dtype=dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("frames"))
+        coords_dev = jax.device_put(coords_dev, sharding)
+        forces_dev = jax.device_put(forces_dev, sharding)
+        mask_dev = jax.device_put(mask_dev, sharding)
+    gram, a_rows, b = _fused_fit_parts(
+        coords_dev,
+        forces_dev,
+        mask_dev,
         jnp.asarray(constr_coords, dtype=dtype),
         jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-        jnp.asarray(smear, dtype=dtype),
+        jnp.asarray(group_mean, dtype=dtype),
         jnp.asarray(onehot, dtype=dtype),
+        jnp.asarray(counts, dtype=dtype),
         jnp.asarray(centers, dtype=dtype),
         jnp.asarray(kbt, dtype=dtype),
         jnp.asarray(l2_regularization, dtype=dtype),
         spec,
         n_chunks,
-        delta=delta,
-        refine_iters=refine_iters,
+        mesh=mesh,
     )
+    coefs = batched_eqp_solve(
+        gram, a_rows, b[..., None], delta=delta, refine_iters=refine_iters
+    )[..., 0]
     coefs_np = np.asarray(coefs)
+    if not np.all(np.isfinite(coefs_np)):
+        # f32 LU on ill-conditioned feature Grams can fail on some backends;
+        # retry each site's solve with the float64 LAPACK oracle.
+        from ..ops.eqp import eqp_solve_host
+
+        gram_h = np.asarray(gram, dtype=np.float64)
+        rows_h = np.asarray(a_rows, dtype=np.float64)
+        b_h = np.asarray(b, dtype=np.float64)
+        coefs_np = np.stack(
+            [
+                eqp_solve_host(gram_h[s], rows_h[s], b_h[s][:, None])[:, 0]
+                for s in range(gram_h.shape[0])
+            ]
+        ).astype(np.float32)
     if not np.all(np.isfinite(coefs_np)):
         raise ValueError("Map optimization failed.")
     force_map = FusedGBMap(
         coefs=coefs_np,
         cmap_mat=np.asarray(coord_map.standard_matrix, dtype=np.float32),
-        smear=smear,
         onehot=onehot,
         centers=centers,
         kbt=kbt,

@@ -149,7 +149,6 @@ def _encode_fused_gb(fm: FusedGBMap, ar: _Archive) -> Dict[str, Any]:
         "type": "FusedGBMap",
         "coefs": ar.add(np.asarray(fm._coefs)),
         "cmap_mat": ar.add(np.asarray(fm._cmap_mat)),
-        "smear": ar.add(np.asarray(fm._smear)),
         "onehot": ar.add(np.asarray(fm._onehot)),
         "centers": ar.add(np.asarray(fm._centers)),
         "kbt": float(np.asarray(fm._kbt)),
@@ -169,7 +168,6 @@ def _decode_fused_gb(node: Dict[str, Any], data) -> FusedGBMap:
     return FusedGBMap(
         coefs=data[node["coefs"]],
         cmap_mat=data[node["cmap_mat"]],
-        smear=data[node["smear"]],
         onehot=data[node["onehot"]],
         centers=data[node["centers"]],
         kbt=node["kbt"],

@@ -30,19 +30,30 @@ def synthesize_trajectory(
     seed: int = 0,
     motion_scale: float = 0.02,
     internal_force_scale: float = 60.0,
-    tether_k: float = 25.0,
+    kbt: float = 0.6955215,
     noise_force_scale: float = 1.5,
     dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Build (coords, forces) with exact group constraints and structured forces.
+    """Build (coords, forces) with exact group constraints and Boltzmann forces.
+
+    The ensemble is exactly Boltzmann-consistent at temperature ``kbt`` for a
+    harmonic tether potential: displacements are Gaussian with std
+    ``motion_scale`` and the conservative force is -(kbt/motion_scale^2) *
+    displacement, so statistical identities that rely on the equilibrium
+    density (e.g. the divergence correction of featurized maps, MSCG
+    projections) hold on this data. Constraint groups translate rigidly (one
+    shared displacement; tether force split evenly across members), keeping
+    intra-group distances exactly constant. The additional zero-sum
+    intra-group forces model constraint (Lagrange-multiplier) forces, which
+    do not alter the configurational ensemble; the small per-atom noise force
+    is mean-zero and configuration-independent.
 
     Arguments:
     ---------
     base_coords:
         (n_sites, 3) reference geometry (e.g. from a PDB).
     constraint_groups:
-        Disjoint site groups that move rigidly (translations only), so
-        intra-group distances are exactly constant across frames.
+        Disjoint site groups that move rigidly.
     n_frames:
         Number of frames to generate.
     seed:
@@ -50,11 +61,11 @@ def synthesize_trajectory(
     motion_scale:
         Std-dev (nm) of per-frame displacements.
     internal_force_scale:
-        Std-dev of the zero-sum intra-group force component; dominating this
-        makes constraint-aware aggregation strongly optimal.
-    tether_k:
-        Spring constant of the coordinate-dependent tether force
-        -k (x - base).
+        Std-dev of the zero-sum intra-group (constraint) force component;
+        dominating this makes constraint-aware aggregation strongly optimal.
+    kbt:
+        Temperature (in force*length units) of the synthetic ensemble; sets
+        the tether stiffness kbt/motion_scale^2.
     noise_force_scale:
         Std-dev of independent per-atom force noise.
 
@@ -70,23 +81,24 @@ def synthesize_trajectory(
         grouped.update(g)
     loose = sorted(set(range(n_sites)) - grouped)
 
+    k_spring = kbt / motion_scale**2
     disp = np.zeros((n_frames, n_sites, 3))
-    # rigid per-group translation: intra-group distances stay exactly constant
+    tether = np.zeros((n_frames, n_sites, 3))
+    # rigid per-group translation: the group's collective coordinate is
+    # harmonic, and its restoring force is shared evenly by the members
     for g in groups:
-        disp[:, g, :] = rng.normal(scale=motion_scale, size=(n_frames, 1, 3))
-    disp[:, loose, :] = rng.normal(
-        scale=motion_scale, size=(n_frames, len(loose), 3)
-    )
-    # slow collective breathing mode shared by all atoms (adds realistic
-    # long-range correlation without breaking constraints)
-    phase = np.linspace(0, 8 * np.pi, n_frames)[:, None, None]
-    direction = rng.normal(size=(1, 1, 3))
-    disp = disp + 0.3 * motion_scale * np.sin(phase) * direction
+        t_g = rng.normal(scale=motion_scale, size=(n_frames, 1, 3))
+        disp[:, g, :] = t_g
+        tether[:, g, :] = -(k_spring / len(g)) * t_g
+    loose_disp = rng.normal(scale=motion_scale, size=(n_frames, len(loose), 3))
+    disp[:, loose, :] = loose_disp
+    tether[:, loose, :] = -k_spring * loose_disp
 
     coords = base_coords[None, :, :] + disp
 
-    forces = rng.normal(scale=noise_force_scale, size=(n_frames, n_sites, 3))
-    forces += -tether_k * (coords - base_coords[None, :, :])
+    forces = tether + rng.normal(
+        scale=noise_force_scale, size=(n_frames, n_sites, 3)
+    )
     for g in groups:
         internal = rng.normal(
             scale=internal_force_scale, size=(n_frames, len(g), 3)

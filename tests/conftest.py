@@ -57,6 +57,24 @@ def cln_fixture(cln_pdb_path):
     return synthesize_protein_fixture(cln_pdb_path, n_frames=2000, seed=1234)
 
 
+@pytest.fixture(scope="module")
+def cln_fixture_module(cln_pdb_path):
+    """Module-scoped alias of the synthetic CLN fixture (for heavy modules)."""
+    from aggforce_tpu.utils.synth import synthesize_protein_fixture
+
+    return synthesize_protein_fixture(cln_pdb_path, n_frames=2000, seed=1234)
+
+
+@pytest.fixture(scope="module")
+def cln_ca_map_module(cln_pdb_path):
+    """Module-scoped CA map."""
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms
+
+    inds = ca_map_from_pdb(cln_pdb_path)
+    return LinearMap(inds, n_fg_sites=n_atoms(cln_pdb_path))
+
+
 @pytest.fixture(scope="session")
 def cln_ca_map(cln_pdb_path):
     """Carbon-alpha configurational LinearMap for CLN025."""

@@ -209,6 +209,33 @@ def test_fused_matches_protocol(small_system):
     np.testing.assert_allclose(f_fused, f_proto, atol=5e-3 * scale)
 
 
+def test_auto_dispatch_to_fused(small_system):
+    """The reference-style API call must route to the fused fast path."""
+    from aggforce_tpu.map import CLAFTMap
+    from aggforce_tpu.qp.fusedfeat import FusedGBMap, recognize_canonical_featurizer
+
+    coords, forces, cmap, constraints = small_system
+    gb_curry = Curry(gb_feat, inner=0.0, outer=1.0, width=1.0, n_basis=4,
+                     lazy=True, batch_size=100)
+    m = Multifeaturize([id_feat, gb_curry])
+    spec = recognize_canonical_featurizer(m)
+    assert spec is not None
+    assert spec.n_basis == 4 and spec.include_id
+
+    traj = Trajectory(coords=coords, forces=forces)
+    tmap = qp_feat_linear_map(
+        traj, cmap, featurizer=m, kbt=0.5, constraints=constraints,
+        l2_regularization=1.0, constraint_rng=np.random.default_rng(0),
+    )
+    assert isinstance(tmap, CLAFTMap)
+    assert isinstance(tmap.force_map, FusedGBMap)
+    # unknown featurizers never dispatch
+    assert recognize_canonical_featurizer(id_feat) is None
+    assert recognize_canonical_featurizer(
+        Curry(gb_feat, outer=1.0, div_method="basic")
+    ) is None
+
+
 def test_kbt_changes_divergence_term(small_system):
     coords, forces, cmap, constraints = small_system
     traj = Trajectory(coords=coords, forces=forces)
