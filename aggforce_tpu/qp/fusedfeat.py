@@ -492,22 +492,41 @@ def fused_gb_linear_map(
     t_pad = chunk * n_chunks
     pad = t_pad - t
 
-    coords = np.concatenate(
-        [traj.coords, np.zeros((pad,) + traj.coords.shape[1:], traj.coords.dtype)]
-    )
-    forces = np.concatenate(
-        [traj.forces, np.zeros((pad,) + traj.forces.shape[1:], traj.forces.dtype)]
-    )
-    mask = np.concatenate([np.ones(t), np.zeros(pad)]).astype(np.float32)
-
     rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
     frame_idx = rng.choice(t, size=n_constraint_frames, replace=False)
-    constr_coords = traj.coords[frame_idx]
 
     dtype = jnp.float32
-    coords_dev = jnp.asarray(coords, dtype=dtype)
-    forces_dev = jnp.asarray(forces, dtype=dtype)
-    mask_dev = jnp.asarray(mask, dtype=dtype)
+    # device-resident trajectories (jax arrays in traj) are padded on device,
+    # avoiding per-fit host copies and host->device re-transfers — data is
+    # staged once, fits are pure device work.
+    if isinstance(traj.coords, jax.Array):
+        pad_spec = ((0, pad), (0, 0), (0, 0))
+        coords_dev = jnp.pad(traj.coords.astype(dtype), pad_spec)
+        forces_dev = jnp.pad(traj.forces.astype(dtype), pad_spec)
+        constr_coords = traj.coords[jnp.asarray(frame_idx)].astype(dtype)
+    else:
+        coords_dev = jnp.asarray(
+            np.concatenate(
+                [
+                    traj.coords,
+                    np.zeros((pad,) + traj.coords.shape[1:], traj.coords.dtype),
+                ]
+            ),
+            dtype=dtype,
+        )
+        forces_dev = jnp.asarray(
+            np.concatenate(
+                [
+                    traj.forces,
+                    np.zeros((pad,) + traj.forces.shape[1:], traj.forces.dtype),
+                ]
+            ),
+            dtype=dtype,
+        )
+        constr_coords = jnp.asarray(traj.coords[frame_idx], dtype=dtype)
+    mask_dev = jnp.asarray(
+        np.concatenate([np.ones(t), np.zeros(pad)]), dtype=dtype
+    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -519,7 +538,7 @@ def fused_gb_linear_map(
         coords_dev,
         forces_dev,
         mask_dev,
-        jnp.asarray(constr_coords, dtype=dtype),
+        constr_coords,
         jnp.asarray(coord_map.standard_matrix, dtype=dtype),
         jnp.asarray(group_mean, dtype=dtype),
         jnp.asarray(onehot, dtype=dtype),
