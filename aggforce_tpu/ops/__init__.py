@@ -2,4 +2,10 @@
 # ruff: noqa: F401
 from .core import trjdot, distances, qp_form, abatch
 from . import jaxcore
-from .eqp import eqp_solve, eqp_solve_host, batched_eqp_solve
+from .eqp import (
+    eqp_solve,
+    eqp_solve_auglag,
+    eqp_solve_host,
+    batched_eqp_solve,
+    batched_eqp_solve_auglag,
+)

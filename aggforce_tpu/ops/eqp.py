@@ -57,13 +57,64 @@ def _kkt(P: jax.Array, A: jax.Array, delta: jax.Array, regularized: bool):
     return jnp.concatenate([top, bot], axis=0)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def eqp_solve_auglag(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    rho: float = 30.0,
+    delta: float = 1e-7,
+    iters: int = 10,
+) -> jax.Array:
+    r"""Augmented-Lagrangian equality-QP solve (Cholesky only, multi-RHS).
+
+    Iterates x = (P + rho A^T A + delta I)^{-1} A^T (y + rho b),
+    y <- y + rho (b - A x); the fixed point satisfies the exact KKT
+    conditions, with per-iteration constraint-error contraction ~ sigma(P)/rho
+    after equilibration. Uses a single unpivoted Cholesky factorization — on
+    TPU this both runs faster than the pivoted-LU KKT solve and compiles an
+    order of magnitude faster (batched pivoted LU is extremely expensive to
+    compile), which is why it is the default for jitted device paths.
+    Handles redundant constraint rows and PSD P (the rho A^T A + delta I
+    shift keeps the system positive definite).
+    """
+    dtype = P.dtype
+    n = P.shape[0]
+    p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
+    Pn = P / p_scale
+    row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
+        1e-30, dtype
+    )
+    An = A / row_norm
+    Bn = B / row_norm
+    rho = jnp.asarray(rho, dtype)
+    M = (
+        Pn
+        + rho * jnp.matmul(An.T, An, precision="highest")
+        + jnp.asarray(delta, dtype) * jnp.eye(n, dtype=dtype)
+    )
+    chol = jsl.cho_factor(M, lower=True)
+
+    def body(_, carry):
+        x, y = carry
+        rhs = jnp.matmul(An.T, y + rho * Bn, precision="highest")
+        x = jsl.cho_solve(chol, rhs)
+        y = y + rho * (Bn - jnp.matmul(An, x, precision="highest"))
+        return (x, y)
+
+    x0 = jnp.zeros((n,) + B.shape[1:], dtype)
+    y0 = jnp.zeros_like(Bn)
+    x, _ = jax.lax.fori_loop(0, iters, body, (x0, y0))
+    return x
+
+
 @partial(jax.jit, static_argnames=("refine_iters",))
 def eqp_solve(
     P: jax.Array,
     A: jax.Array,
     B: jax.Array,
     delta: float = 1e-6,
-    refine_iters: int = 8,
+    refine_iters: int = 4,
 ) -> jax.Array:
     """Solve min x^T P x s.t. A x = b for every column b of B.
 
@@ -81,8 +132,9 @@ def eqp_solve(
         to the data scale.
     refine_iters:
         Refinement sweeps against the unregularized KKT operator. Each sweep
-        contracts the regularization error by ~delta/lambda_min, so a handful
-        of sweeps recovers the exact solution to working precision.
+        contracts the regularization error by ~delta/lambda_min; empirically
+        one sweep reaches float32 working precision even on stiff problems,
+        so the default keeps a small safety margin.
 
     Returns:
     -------
@@ -124,7 +176,7 @@ def batched_eqp_solve(
     A: jax.Array,
     B: jax.Array,
     delta: float = 1e-6,
-    refine_iters: int = 8,
+    refine_iters: int = 4,
 ) -> jax.Array:
     """Batched :func:`eqp_solve` over a leading axis.
 
@@ -133,6 +185,22 @@ def batched_eqp_solve(
     """
     return jax.vmap(
         lambda p, a, b: eqp_solve(p, a, b, delta=delta, refine_iters=refine_iters)
+    )(P, A, B)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def batched_eqp_solve_auglag(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    rho: float = 30.0,
+    delta: float = 1e-7,
+    iters: int = 10,
+) -> jax.Array:
+    """Batched :func:`eqp_solve_auglag` over a leading axis (production
+    device solver: Cholesky-only, fast to compile and run)."""
+    return jax.vmap(
+        lambda p, a, b: eqp_solve_auglag(p, a, b, rho=rho, delta=delta, iters=iters)
     )(P, A, B)
 
 

@@ -1,0 +1,282 @@
+r"""Pallas TPU kernel: fused featurized design-row construction + Gram.
+
+The hot op of the featurized force-map fit is, per cg site s,
+
+    P_s = sum_{t,a} row(t,a)^T row(t,a),
+    row(t,a) = [ Fg[t,:,a] | Fg[t,g,a]*gz[t,s,g,k] + dph[t,s,g,k]*u[t,s,g,a] ]
+
+with gz the Gaussian basis of the group<->site distance, dph its scaled
+radial derivative (the divergence factor), and u the unit displacement. The
+XLA path materializes the (chunk, S, 3, K_exp) design tensor in HBM before a
+batched GEMM. This kernel instead builds each (t-block, K_exp) operand tile
+in VMEM *from the raw group positions* — distances, basis, divergences, and
+the rank-1 a-expansion are all computed in-registers — and feeds the MXU
+directly, accumulating P_s across sequential grid steps. HBM traffic drops
+from O(chunk * S * 3 * K_exp) to O(chunk * G * 3) reads plus one P
+write-back per site.
+
+Layout contract: feature index f ∈ [0, G_pad) is the one-hot id block;
+f = G_pad + k*G_pad + g is basis function k of group g (k-major — the
+natural layout of ``pltpu.repeat``'s tile semantics). Padded groups carry
+zero Fg and zero counts so their columns vanish; :func:`unpack_gram`
+permutes the valid block into the canonical g-major (f = g*K + k) layout
+used by :mod:`aggforce_tpu.qp.fusedfeat`.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gram_kernel(
+    gpos_ref,  # (3, tb, G_pad) group positions, component-major
+    cg_ref,  # (1, 3, tb) this site's cg positions (site-major array)
+    fg_ref,  # (3, tb, G_pad) per-group force sums (mask folded in)
+    maskd_ref,  # (tb, 1) frame validity for the divergence term
+    centers_ref,  # (1, GK_pad) per-column basis centers (tiled per group)
+    counts_ref,  # (1, GK_pad) per-column kbt * group size (0 for padding)
+    out_ref,  # (1, K_pad, K_pad) per-site Gram accumulator
+    *,
+    n_basis: int,
+    width: float,
+    clip: float,
+    g_pad: int,
+):
+    # NOTE: xyz components lead the layout so the minor dims stay lane/
+    # sublane aligned — a trailing dim of 3 would be padded to 128 lanes by
+    # Mosaic, inflating the VMEM windows ~42x.
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    inv_w = 1.0 / width
+
+    # distances of every (frame, group) pair to this site's cg point
+    disp0 = gpos_ref[0] - cg_ref[0, 0, :][:, None]
+    disp1 = gpos_ref[1] - cg_ref[0, 1, :][:, None]
+    disp2 = gpos_ref[2] - cg_ref[0, 2, :][:, None]
+    dsq = disp0 * disp0 + disp1 * disp1 + disp2 * disp2  # (tb, G_pad)
+    d = jnp.sqrt(dsq)
+    inv_d = 1.0 / jnp.maximum(d, 1e-30)
+
+    # expand to per-(g, k) columns and evaluate the clipped basis
+    drep = pltpu.repeat(d, n_basis, axis=1)  # (tb, GK_pad)
+    offset = (drep - centers_ref[0, :]) * inv_w
+    raw = jnp.exp(-(offset * offset))
+    gz = jnp.maximum(raw, clip) - clip
+    live = (raw > clip).astype(raw.dtype)
+    # dph = kbt * count * d(phi)/dd  (counts_ref carries kbt * |group|),
+    # masked for padded frames (the fg terms carry the mask already)
+    dph = (
+        counts_ref[0, :]
+        * live
+        * raw
+        * (-2.0 * inv_w)
+        * offset
+        * maskd_ref[:, 0:1]
+    )
+
+    acc = jnp.zeros_like(out_ref[0])
+    for a, disp_a in ((0, disp0), (1, disp1), (2, disp2)):
+        fg_a = fg_ref[a]  # (tb, G_pad)
+        u_a = disp_a * inv_d
+        row_gb = pltpu.repeat(fg_a, n_basis, axis=1) * gz + dph * pltpu.repeat(
+            u_a, n_basis, axis=1
+        )
+        row = jnp.concatenate([fg_a, row_gb], axis=1)  # (tb, K_pad)
+        acc = acc + jax.lax.dot_general(
+            row,
+            row,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = out_ref[0] + acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_basis", "width", "clip", "t_block", "interpret"),
+)
+def pallas_site_grams(
+    gpos: jax.Array,  # (3, T, G_pad) — component-major
+    cg: jax.Array,  # (S, 3, T) — site-major
+    fg: jax.Array,  # (3, T, G_pad) — mask folded in by caller
+    mask: jax.Array,  # (T,)
+    centers_flat: jax.Array,  # (GK_pad,)
+    kbt_counts_flat: jax.Array,  # (GK_pad,)
+    n_basis: int,
+    width: float,
+    clip: float,
+    t_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """All-site featurized Grams: returns (S, K_pad, K_pad).
+
+    Shapes must satisfy: T % t_block == 0, G_pad % 128 == 0 (so the padded
+    feature dimension K_pad = G_pad * (1 + n_basis) is lane-aligned).
+    """
+    _, t, g_pad = gpos.shape
+    s_dim = cg.shape[0]
+    gk_pad = g_pad * n_basis
+    k_pad = g_pad + gk_pad
+    n_steps = t // t_block
+
+    grid = (s_dim, n_steps)
+    kernel = partial(
+        _gram_kernel,
+        n_basis=n_basis,
+        width=width,
+        clip=clip,
+        g_pad=g_pad,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (3, t_block, g_pad),
+                lambda s, i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, t_block),
+                lambda s, i: (s, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, t_block, g_pad),
+                lambda s, i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (t_block, 1), lambda s, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, gk_pad), lambda s, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, gk_pad), lambda s, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, k_pad, k_pad), lambda s, i: (s, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_dim, k_pad, k_pad), jnp.float32),
+        # the kernel's live set (basis/divergence tiles + the Gram
+        # accumulator) exceeds the default 16M scoped-vmem budget; the chip
+        # has 128M of VMEM, so grant the kernel most of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        gpos,
+        cg,
+        fg,
+        mask[:, None],
+        centers_flat[None, :],
+        kbt_counts_flat[None, :],
+    )
+
+
+def reference_site_grams(
+    gpos: np.ndarray,
+    cg: np.ndarray,
+    fg: np.ndarray,
+    mask: np.ndarray,
+    centers_flat: np.ndarray,
+    kbt_counts_flat: np.ndarray,
+    n_basis: int,
+    width: float,
+    clip: float,
+) -> np.ndarray:
+    """Plain-numpy oracle for the kernel (float64, used by tests).
+
+    Mirrors the kernel's k-major tiled layout (np.tile ≡ pltpu.repeat).
+    """
+    _, t, g_pad = gpos.shape
+    s_dim = cg.shape[0]
+    k_pad = g_pad * (1 + n_basis)
+    out = np.zeros((s_dim, k_pad, k_pad))
+    for s in range(s_dim):
+        disp = gpos.transpose(1, 2, 0) - cg[s].T[:, None, :]  # (T, G, 3)
+        d = np.linalg.norm(disp, axis=-1)
+        u = disp / np.maximum(d, 1e-30)[..., None]
+        drep = np.tile(d, (1, n_basis))
+        offset = (drep - centers_flat[None, :]) / width
+        raw = np.exp(-(offset**2))
+        gz = np.maximum(raw, clip) - clip
+        dph = (
+            kbt_counts_flat[None, :]
+            * (raw > clip)
+            * raw
+            * (-2.0 / width)
+            * offset
+            * mask[:, None]
+        )
+        for a in range(3):
+            row = np.concatenate(
+                [
+                    fg[a],
+                    np.tile(fg[a], (1, n_basis)) * gz
+                    + dph * np.tile(u[:, :, a], (1, n_basis)),
+                ],
+                axis=1,
+            )
+            out[s] += row.T @ row
+    return out
+
+
+def pack_operands(
+    coords: jax.Array,  # (T, N, 3)
+    forces: jax.Array,  # (T, N, 3)
+    mask: jax.Array,  # (T,)
+    cmap_mat: jax.Array,  # (S, N)
+    group_mean: jax.Array,  # (G, N)
+    onehot: jax.Array,  # (N, G)
+    counts: jax.Array,  # (G,)
+    kbt: jax.Array,
+    n_basis: int,
+    centers: jax.Array,  # (K,)
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """XLA-side prep: group positions/forces + padded flat per-column params.
+
+    Returns (gpos, cg, fg_masked, centers_flat, kbt_counts_flat) in
+    component-major layout — (3, T, G_pad) / (3, S, T) — with the group axis
+    zero-padded to a multiple of 128 (padded columns vanish because both fg
+    and counts are zero there).
+    """
+    g = group_mean.shape[0]
+    g_pad = -(-g // 128) * 128
+    pad = g_pad - g
+    gpos = jnp.einsum("gj,tjd->dtg", group_mean, coords, precision="highest")
+    cg = jnp.einsum("sj,tjd->sdt", cmap_mat, coords, precision="highest")
+    fg = jnp.einsum("tja,jg->atg", forces, onehot, precision="highest")
+    fg = fg * mask[None, :, None]
+    gpos = jnp.pad(gpos, ((0, 0), (0, 0), (0, pad)))
+    fg = jnp.pad(fg, ((0, 0), (0, 0), (0, pad)))
+    # k-major flat layout: column k*G_pad + g
+    centers_flat = jnp.repeat(centers, g_pad)
+    kbt_counts_flat = jnp.tile(jnp.pad(kbt * counts, (0, pad)), n_basis)
+    return gpos, cg, fg, centers_flat, kbt_counts_flat
+
+
+def unpack_gram(gram_pad: jax.Array, g: int, n_basis: int) -> jax.Array:
+    """Extract + permute the valid block into the canonical g-major layout.
+
+    Kernel column for basis k of group gi sits at G_pad + k*G_pad + gi; the
+    canonical fused layout expects g + gi*n_basis + k.
+    """
+    g_pad = gram_pad.shape[-1] // (1 + n_basis)
+    gi = jnp.arange(g)
+    kk = jnp.arange(n_basis)
+    basis_idx = (g_pad + kk[None, :] * g_pad + gi[:, None]).reshape(-1)
+    idx = jnp.concatenate([jnp.arange(g), basis_idx])
+    return gram_pad[:, idx[:, None], idx[None, :]]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.eqp import eqp_solve
+from ..ops.eqp import eqp_solve_auglag
 
 FRAME_AXIS = "frames"
 
@@ -56,7 +56,7 @@ def _sharded_fit(
     l2_regularization: jax.Array,
     mesh: Mesh,
     delta: float = 1e-7,
-    refine_iters: int = 8,
+    refine_iters: int = 4,
 ) -> jax.Array:
     """Frame-sharded linear force-map fit over a mesh.
 
@@ -83,7 +83,7 @@ def _sharded_fit(
     )
     a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
     basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
-    x = eqp_solve(gram, a_mat, basis, delta=delta, refine_iters=refine_iters)
+    x = eqp_solve_auglag(gram, a_mat, basis)
     return jnp.matmul(con_mat, x, precision="highest").T
 
 

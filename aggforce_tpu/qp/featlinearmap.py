@@ -40,7 +40,7 @@ import numpy as np
 
 from ..constraints import Constraints, reduce_constraint_sets
 from ..map import CLAFTMap, CLAMap, LinearMap
-from ..ops.eqp import eqp_solve, eqp_solve_host
+from ..ops.eqp import eqp_solve_auglag, eqp_solve_host
 from ..trajectory import Trajectory
 from .qplinear import DEFAULT_SOLVER_OPTIONS, SolverOptions, _solver_opts
 
@@ -264,12 +264,10 @@ def qp_feat_linear_map(
             )[:, 0]
         else:
             params = np.asarray(
-                eqp_solve(
+                eqp_solve_auglag(
                     jnp.asarray(gram, dtype=jnp.float32),
                     jnp.asarray(constr_mult, dtype=jnp.float32),
                     jnp.asarray(constr_target[:, None], dtype=jnp.float32),
-                    delta=opts.get("delta", 1e-6),
-                    refine_iters=opts.get("refine_iters", 8),
                 )
             )[:, 0]
         if not np.all(np.isfinite(params)):

@@ -24,7 +24,7 @@ TPU-first redesign (same features, different execution):
 """
 
 from functools import partial
-from typing import Final, Iterable, Optional, Tuple, Union
+from typing import Final, Iterable, Tuple, Union
 
 import jax
 import jax.numpy as jnp

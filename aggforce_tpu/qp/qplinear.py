@@ -31,7 +31,7 @@ import numpy as np
 from ..constraints import Constraints, constraint_lookup_dict, reduce_constraint_sets
 from ..map import LinearMap, SeperableTMap
 from ..ops.core import qp_form
-from ..ops.eqp import eqp_solve, eqp_solve_host
+from ..ops.eqp import eqp_solve_auglag, eqp_solve_host
 from ..trajectory import ForcesTrajectory
 
 
@@ -53,7 +53,7 @@ class SolverOptions(TypedDict, total=False):
 
 DEFAULT_SOLVER_OPTIONS: SolverOptions = {
     "backend": "auto",
-    "refine_iters": 8,
+    "refine_iters": 4,
 }
 
 _KNOWN_OPTION_KEYS = frozenset(("backend", "delta", "refine_iters"))
@@ -76,7 +76,7 @@ def _device_linear_fit(
     cmap_mat: jax.Array,
     l2_regularization: jax.Array,
     delta: float = 1e-7,
-    refine_iters: int = 8,
+    refine_iters: int = 4,
 ) -> jax.Array:
     """Fused device fit: Gram + multi-RHS KKT + coefficient re-expansion.
 
@@ -92,7 +92,7 @@ def _device_linear_fit(
     )
     a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
     basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
-    x = eqp_solve(gram, a_mat, basis, delta=delta, refine_iters=refine_iters)
+    x = eqp_solve_auglag(gram, a_mat, basis)
     return jnp.matmul(con_mat, x, precision="highest").T
 
 
@@ -173,7 +173,7 @@ def qp_linear_map(
                 jnp.asarray(coord_map.standard_matrix, dtype=dtype),
                 jnp.asarray(l2_regularization, dtype=dtype),
                 delta=opts.get("delta", 1e-7),
-                refine_iters=opts.get("refine_iters", 8),
+                refine_iters=opts.get("refine_iters", 4),
             )
         )
     force_map = LinearMap(fmap_mat)

@@ -13,7 +13,7 @@ built from arbitrary python closures are rejected with a clear error.
 """
 
 import json
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
