@@ -20,9 +20,15 @@ import numpy as np
 
 from .hints import Constraints
 
-# frames per device step when streaming the distance moments; bounds the live
-# (chunk, N, N) tensor so thousands-of-atoms systems fit in HBM
-_FRAME_CHUNK = 32
+# byte budget for the live (chunk, N, N) distance block when streaming the
+# moments; the frame chunk adapts to the site count so thousands-of-atoms
+# systems stay well inside HBM
+_BLOCK_BYTES = 192 * 1024 * 1024
+
+
+def _frame_chunk(n_sites: int) -> int:
+    per_frame = n_sites * n_sites * 4
+    return max(1, min(64, _BLOCK_BYTES // max(per_frame, 1)))
 
 
 @partial(jax.jit, static_argnames=("cross", "n_chunks"))
@@ -42,18 +48,26 @@ def _distance_sd(
     xa = xyz.reshape(n_chunks, chunk, *xyz.shape[1:])
     xb = other.reshape(n_chunks, chunk, *other.shape[1:])
 
+    def dists(a: jax.Array, b: jax.Array) -> jax.Array:
+        # Gram trick: |a_j - b_i|^2 = |a_j|^2 + |b_i|^2 - 2 b_i . a_j keeps
+        # the live block at (chunk, n_b, n_a) (no trailing xyz axis) and
+        # routes the pairwise work through a batched MXU GEMM.
+        sq_a = jnp.sum(a * a, axis=-1)  # (chunk, n_a)
+        sq_b = jnp.sum(b * b, axis=-1)  # (chunk, n_b)
+        dots = jnp.einsum("tjd,tid->tij", a, b, precision="highest")
+        dsq = sq_b[:, :, None] + sq_a[:, None, :] - 2.0 * dots
+        return jnp.sqrt(jnp.maximum(dsq, 0.0))
+
     # reference distances (frame 0) are subtracted before accumulating, so
     # the moments are of the small fluctuation d - d0 — this avoids the
     # catastrophic cancellation E[d^2] - E[d]^2 would suffer in float32 at
     # the 1e-3 detection threshold.
-    disp0 = xyz[0][None, :, :] - other[0][:, None, :]
-    d0 = jnp.sqrt(jnp.sum(disp0 * disp0, axis=-1))
+    d0 = dists(xyz[0][None], other[0][None])[0]
 
     def body(carry, inp):
         s1, s2 = carry
         a, b = inp
-        disp = a[:, None, :, :] - b[:, :, None, :]
-        delta = jnp.sqrt(jnp.sum(disp * disp, axis=-1)) - d0
+        delta = dists(a, b) - d0
         return (s1 + delta.sum(axis=0), s2 + (delta * delta).sum(axis=0)), None
 
     shape = (other.shape[1], xyz.shape[1])
@@ -91,7 +105,7 @@ def guess_pairwise_constraints(
     Set of frozensets (within one system) or set of ordered tuples (cross).
     """
     t = xyz.shape[0]
-    n_chunks = max(1, t // _FRAME_CHUNK)
+    n_chunks = max(1, t // _frame_chunk(xyz.shape[1]))
     # drop trailing frames that do not fill a chunk (statistically harmless
     # for a fluctuation screen; avoids a ragged scan step)
     t_use = (t // n_chunks) * n_chunks

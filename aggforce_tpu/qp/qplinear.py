@@ -69,24 +69,37 @@ def _solver_opts(solver_args: Optional[dict]) -> SolverOptions:
     return out  # type: ignore[return-value]
 
 
-@partial(jax.jit, static_argnames=("refine_iters",))
+@partial(jax.jit, static_argnames=("n_chunks",))
 def _device_linear_fit(
     forces: jax.Array,
     con_mat: jax.Array,
     cmap_mat: jax.Array,
     l2_regularization: jax.Array,
-    delta: float = 1e-7,
-    refine_iters: int = 4,
+    n_chunks: int = 1,
 ) -> jax.Array:
-    """Fused device fit: Gram + multi-RHS KKT + coefficient re-expansion.
+    """Fused device fit: blockwise Gram + multi-RHS solve + re-expansion.
 
-    forces: (T, N, 3); con_mat: (N, R); cmap_mat: (n_cg, N).
-    Returns the (n_cg, N) force-map matrix.
+    forces: (T, N, 3) with T divisible by n_chunks; con_mat: (N, R);
+    cmap_mat: (n_cg, N). The Gram accumulates over frame blocks under a scan
+    so only one (3*chunk, R) design block is ever live — 100k-frame,
+    thousands-of-atoms sweeps fit in HBM. Returns the (n_cg, N) force-map
+    matrix.
     """
     t, n, d = forces.shape
-    flat = jnp.swapaxes(forces, 1, 2).reshape(t * d, n)
-    design = jnp.matmul(flat, con_mat, precision="highest")  # (3T, R) MXU GEMM
-    gram = jnp.matmul(design.T, design, precision="highest")
+    chunk = t // n_chunks
+    blocks = forces.reshape(n_chunks, chunk, n, d)
+
+    def body(gram, f_block):
+        flat = jnp.swapaxes(f_block, 1, 2).reshape(chunk * d, n)
+        design = jnp.matmul(flat, con_mat, precision="highest")
+        return (
+            gram + jnp.matmul(design.T, design, precision="highest"),
+            None,
+        )
+
+    r = con_mat.shape[1]
+    gram0 = jnp.zeros((r, r), dtype=forces.dtype)
+    gram, _ = jax.lax.scan(body, gram0, blocks)
     gram = gram + l2_regularization * jnp.matmul(
         con_mat.T, con_mat, precision="highest"
     )
@@ -165,15 +178,25 @@ def qp_linear_map(
         )
         fmap_mat = fmap_mat.astype(np.asarray(forces).dtype)
     else:
-        dtype = jnp.asarray(forces[:1]).dtype
+        forces_dev = (
+            forces if isinstance(forces, jax.Array) else jnp.asarray(forces)
+        )
+        dtype = forces_dev.dtype
+        t = forces_dev.shape[0]
+        # bound the live design block to ~4096 frames; zero-padded frames
+        # contribute nothing to the Gram
+        n_chunks = max(1, -(-t // 4096))
+        chunk = -(-t // n_chunks)
+        pad = chunk * n_chunks - t
+        if pad:
+            forces_dev = jnp.pad(forces_dev, ((0, pad), (0, 0), (0, 0)))
         fmap_mat = np.asarray(
             _device_linear_fit(
-                jnp.asarray(forces),
+                forces_dev,
                 jnp.asarray(con_mat, dtype=dtype),
                 jnp.asarray(coord_map.standard_matrix, dtype=dtype),
                 jnp.asarray(l2_regularization, dtype=dtype),
-                delta=opts.get("delta", 1e-7),
-                refine_iters=opts.get("refine_iters", 4),
+                n_chunks=n_chunks,
             )
         )
     force_map = LinearMap(fmap_mat)

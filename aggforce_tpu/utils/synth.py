@@ -81,31 +81,141 @@ def synthesize_trajectory(
         grouped.update(g)
     loose = sorted(set(range(n_sites)) - grouped)
 
-    k_spring = kbt / motion_scale**2
-    disp = np.zeros((n_frames, n_sites, 3))
-    tether = np.zeros((n_frames, n_sites, 3))
-    # rigid per-group translation: the group's collective coordinate is
-    # harmonic, and its restoring force is shared evenly by the members
-    for g in groups:
-        t_g = rng.normal(scale=motion_scale, size=(n_frames, 1, 3))
-        disp[:, g, :] = t_g
-        tether[:, g, :] = -(k_spring / len(g)) * t_g
-    loose_disp = rng.normal(scale=motion_scale, size=(n_frames, len(loose), 3))
-    disp[:, loose, :] = loose_disp
-    tether[:, loose, :] = -k_spring * loose_disp
+    # vectorized construction: label every site with a "unit" index (its
+    # group, or itself if loose), draw one displacement per unit per frame,
+    # and gather — no per-group python loop over the frame arrays.
+    n_units = len(groups) + len(loose)
+    unit_of_site = np.empty(n_sites, dtype=np.int64)
+    inv_size = np.empty(n_sites, dtype=dtype)
+    constrained_mask = np.zeros(n_sites, dtype=bool)
+    for u, g in enumerate(groups):
+        unit_of_site[g] = u
+        inv_size[g] = 1.0 / len(g)
+        constrained_mask[g] = True
+    for u, site in enumerate(loose, start=len(groups)):
+        unit_of_site[site] = u
+        inv_size[site] = 1.0
 
-    coords = base_coords[None, :, :] + disp
-
-    forces = tether + rng.normal(
-        scale=noise_force_scale, size=(n_frames, n_sites, 3)
+    k_spring = dtype(kbt / motion_scale**2)
+    unit_disp = motion_scale * rng.standard_normal(
+        (n_frames, n_units, 3), dtype=dtype
     )
+    disp = unit_disp[:, unit_of_site, :]
+    tether = (-k_spring * inv_size[None, :, None]) * disp
+
+    coords = base_coords[None, :, :].astype(dtype) + disp
+
+    forces = tether + noise_force_scale * rng.standard_normal(
+        (n_frames, n_sites, 3), dtype=dtype
+    )
+    # zero-sum intra-group (constraint) forces: draw per-site noise, subtract
+    # the group mean via the unit gather
+    raw = internal_force_scale * rng.standard_normal(
+        (n_frames, n_sites, 3), dtype=dtype
+    )
+    raw[:, ~constrained_mask, :] = 0.0
+    # group sums via contiguous-run reduction: sites sorted by unit form
+    # contiguous segments, so reduceat computes all sums vectorized
+    order = np.argsort(unit_of_site, kind="stable")
+    seg_starts = np.searchsorted(unit_of_site[order], np.arange(n_units))
+    group_sum = np.add.reduceat(raw[:, order, :], seg_starts, axis=1)
+    forces += raw - group_sum[:, unit_of_site, :] * inv_size[None, :, None]
+    return coords, forces
+
+
+def synthesize_trajectory_device(
+    base_coords: np.ndarray,
+    constraint_groups: List[frozenset],
+    n_frames: int,
+    seed: int = 0,
+    motion_scale: float = 0.02,
+    internal_force_scale: float = 60.0,
+    kbt: float = 0.6955215,
+    noise_force_scale: float = 1.5,
+):
+    """Device-resident twin of :func:`synthesize_trajectory` (jax arrays).
+
+    Same construction (exact rigid groups, Boltzmann tether, zero-sum
+    constraint forces) with jax PRNG and on-device gathers/GEMMs — built for
+    the 100k-frame sweep where single-core host generation is the
+    bottleneck. RNG stream differs from the numpy twin.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_sites = base_coords.shape[0]
+    groups = [sorted(g) for g in reduce_constraint_sets(set(constraint_groups))]
+    grouped = set()
     for g in groups:
-        internal = rng.normal(
-            scale=internal_force_scale, size=(n_frames, len(g), 3)
-        )
-        internal -= internal.mean(axis=1, keepdims=True)  # zero-sum per group
-        forces[:, g, :] += internal
-    return coords.astype(dtype), forces.astype(dtype)
+        grouped.update(g)
+    loose = sorted(set(range(n_sites)) - grouped)
+    n_units = len(groups) + len(loose)
+    unit_of_site = np.empty(n_sites, dtype=np.int32)
+    inv_size = np.empty(n_sites, dtype=np.float32)
+    constrained = np.zeros(n_sites, dtype=np.float32)
+    for u, g in enumerate(groups):
+        unit_of_site[g] = u
+        inv_size[g] = 1.0 / len(g)
+        constrained[g] = 1.0
+    for u, site in enumerate(loose, start=len(groups)):
+        unit_of_site[site] = u
+        inv_size[site] = 1.0
+
+    # build in frame blocks under lax.map so transient buffers stay ~1 GB
+    # while only the two (T, N, 3) outputs are fully resident; prefer a
+    # block count that divides n_frames exactly (a trailing slice of the
+    # stacked output would copy the whole multi-GB array)
+    n_blocks = -(-n_frames // 8192)
+    while n_blocks <= 64 and n_frames % n_blocks != 0:
+        n_blocks += 1
+    if n_frames % n_blocks != 0:
+        n_blocks = -(-n_frames // 8192)
+    block = -(-n_frames // n_blocks)
+    t_pad = n_blocks * block
+
+    @jax.jit
+    def build(key):
+        uos = jnp.asarray(unit_of_site)
+        inv = jnp.asarray(inv_size)
+        onehot = jax.nn.one_hot(uos, n_units, dtype=jnp.float32)
+        cmask = jnp.asarray(constrained)
+        base = jnp.asarray(base_coords, jnp.float32)
+        k_spring = kbt / motion_scale**2
+
+        def one_block(bkey):
+            k1, k2, k3 = jax.random.split(bkey, 3)
+            unit_disp = motion_scale * jax.random.normal(
+                k1, (block, n_units, 3), dtype=jnp.float32
+            )
+            disp = jnp.take(unit_disp, uos, axis=1)
+            tether = (-k_spring * inv[None, :, None]) * disp
+            coords = base[None] + disp
+            raw = (
+                internal_force_scale
+                * jax.random.normal(k2, (block, n_sites, 3), dtype=jnp.float32)
+                * cmask[None, :, None]
+            )
+            gsum = jnp.einsum("tja,ju->tua", raw, onehot, precision="highest")
+            internal = raw - jnp.take(gsum, uos, axis=1) * inv[None, :, None]
+            forces = (
+                tether
+                + internal
+                + noise_force_scale
+                * jax.random.normal(k3, (block, n_sites, 3), dtype=jnp.float32)
+            )
+            return coords, forces
+
+        keys = jax.random.split(key, n_blocks)
+        coords_b, forces_b = jax.lax.map(one_block, keys)
+        shape = (t_pad, n_sites, 3)
+        coords_full = coords_b.reshape(shape)
+        forces_full = forces_b.reshape(shape)
+        if t_pad != n_frames:
+            coords_full = coords_full[:n_frames]
+            forces_full = forces_full[:n_frames]
+        return coords_full, forces_full
+
+    return build(jax.random.PRNGKey(seed))
 
 
 def synthesize_protein_fixture(

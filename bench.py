@@ -69,7 +69,7 @@ def run_sweep() -> None:
     from aggforce_tpu import LinearMap, guess_pairwise_constraints
     from aggforce_tpu.qp import qp_linear_map
     from aggforce_tpu.trajectory import Trajectory
-    from aggforce_tpu.utils.synth import synthesize_trajectory
+    from aggforce_tpu.utils.synth import synthesize_trajectory_device
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100000"))
     n_atoms = int(os.environ.get("BENCH_ATOMS", "3000"))
@@ -78,9 +78,12 @@ def run_sweep() -> None:
     rng = np.random.default_rng(0)
     base = rng.normal(scale=1.5, size=(n_atoms, 3))
     groups = [frozenset((i, i + 1)) for i in range(0, n_atoms // 2, 2)]
-    coords, forces = synthesize_trajectory(
+    t0 = time.perf_counter()
+    coords, forces = synthesize_trajectory_device(
         base, groups, n_frames, seed=1, motion_scale=0.02
     )
+    jax.block_until_ready((coords, forces))
+    log(f"device fixture synthesis: {time.perf_counter() - t0:.3f}s")
     cmap = LinearMap(
         [[i] for i in range(0, n_atoms, max(1, n_atoms // 64))],
         n_fg_sites=n_atoms,
@@ -89,8 +92,14 @@ def run_sweep() -> None:
     traj = Trajectory(coords=coords, forces=forces)
 
     def fit():
+        t0 = time.perf_counter()
         constraints = guess_pairwise_constraints(coords[:256])
-        return qp_linear_map(traj, cmap, constraints=constraints)
+        log(f"  constraint detection: {time.perf_counter() - t0:.3f}s "
+            f"({len(constraints)} pairs)")
+        t0 = time.perf_counter()
+        out = qp_linear_map(traj, cmap, constraints=constraints)
+        log(f"  qp_linear_map: {time.perf_counter() - t0:.3f}s")
+        return out
 
     t0 = time.perf_counter()
     tmap = fit()
