@@ -63,7 +63,7 @@ def eqp_solve_auglag(
     A: jax.Array,
     B: jax.Array,
     rho: float = 30.0,
-    delta: float = 1e-7,
+    delta: float = 1e-4,
     iters: int = 10,
 ) -> jax.Array:
     r"""Augmented-Lagrangian equality-QP solve (Cholesky only, multi-RHS).
@@ -81,7 +81,12 @@ def eqp_solve_auglag(
     dtype = P.dtype
     n = P.shape[0]
     p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
+    # symmetrize: float32 Gram accumulation leaves asymmetry/indefiniteness
+    # around the f32 noise floor (~1e-4 of the trace scale), which is also
+    # why the default delta sits above that floor — below it, Cholesky can
+    # hit a (numerically) indefinite matrix and emit NaNs.
     Pn = P / p_scale
+    Pn = 0.5 * (Pn + Pn.T)
     row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
         1e-30, dtype
     )
@@ -194,7 +199,7 @@ def batched_eqp_solve_auglag(
     A: jax.Array,
     B: jax.Array,
     rho: float = 30.0,
-    delta: float = 1e-7,
+    delta: float = 1e-4,
     iters: int = 10,
 ) -> jax.Array:
     """Batched :func:`eqp_solve_auglag` over a leading axis (production
