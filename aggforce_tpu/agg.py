@@ -112,6 +112,7 @@ def project_forces_grid_cv(
     forces: np.ndarray,
     n_folds: int = 5,
     rng: Optional[np.random.Generator] = None,
+    fast: Union[bool, str] = "auto",
     **kwargs,
 ) -> Dict[str, Dict[NamedTuple, Any]]:
     """K-fold cross validation of ``project_forces`` over a parameter grid.
@@ -122,8 +123,24 @@ def project_forces_grid_cv(
     scores, sample standard deviations, and completed run counts.
 
     ``rng`` (new relative to the reference) makes the fold shuffle
-    reproducible.
+    reproducible. When the grid varies only ``l2_regularization`` and the
+    method is the linear or canonical-featurized optimizer, ``fast="auto"``
+    dispatches to the single-pass CV (:mod:`aggforce_tpu.qp.cv`): every
+    (fold, l2) fit reuses one set of per-fold Gram matrices and holdout
+    scores are computed algebraically — identical results, one trajectory
+    pass instead of n_folds * n_grid refits.
     """
+    if fast:
+        dispatched = _fast_grid_cv(
+            cv_arg_dict, coords, forces, n_folds, rng, kwargs
+        )
+        if dispatched is not None:
+            return dispatched
+        if fast is True:
+            raise ValueError(
+                "fast=True requested but this grid/method combination has "
+                "no single-pass CV path."
+            )
     n_frames = forces.shape[0]
     frames = np.arange(n_frames)
     (rng if rng is not None else np.random.default_rng()).shuffle(frames)
@@ -157,6 +174,69 @@ def project_forces_grid_cv(
         results[SCORES_KNAME][label] = mean(fold_scores)
         results[SDS_KNAME][label] = sample_sd(fold_scores)
         results[NRUNS_KNAME][label] = len(fold_scores)
+    return results
+
+
+def _fast_grid_cv(
+    cv_arg_dict: Mapping[str, List[Any]],
+    coords: np.ndarray,
+    forces: np.ndarray,
+    n_folds: int,
+    rng: Optional[np.random.Generator],
+    kwargs: Dict[str, Any],
+) -> Optional[Dict[str, Dict[NamedTuple, Any]]]:
+    """Dispatch to a single-pass CV implementation when one applies."""
+    if set(cv_arg_dict.keys()) != {"l2_regularization"}:
+        return None
+    kw = dict(kwargs)
+    method = kw.pop("method", qp_linear_map)
+    coord_map = kw.pop("coord_map", None)
+    if coord_map is None:
+        return None
+    constrained = kw.pop("constrained_inds", PROJECT_FORCES_CNSTR_AUTO)
+    if isinstance(constrained, str):
+        if constrained != PROJECT_FORCES_CNSTR_AUTO:
+            return None
+        constrained = guess_pairwise_constraints(coords)
+    l2_values = list(cv_arg_dict["l2_regularization"])
+
+    from .qp.cv import fused_gb_cv, linear_map_cv
+
+    if method is qp_linear_map and not kw:
+        raw = linear_map_cv(
+            coords, forces, coord_map, constrained,
+            l2_values=l2_values, n_folds=n_folds, rng=rng,
+        )
+    else:
+        from .qp.featlinearmap import qp_feat_linear_map
+        from .qp.fusedfeat import recognize_canonical_featurizer
+
+        if method is not qp_feat_linear_map:
+            return None
+        featurizer = kw.pop("featurizer", None)
+        kbt = kw.pop("kbt", None)
+        n_cf = kw.pop("n_constraint_frames", 20)
+        spec = recognize_canonical_featurizer(featurizer)
+        if spec is None or kbt is None or kw:
+            return None
+        raw = fused_gb_cv(
+            coords, forces, coord_map, constrained, kbt=kbt, spec=spec,
+            l2_values=l2_values, n_folds=n_folds,
+            n_constraint_frames=n_cf, rng=rng,
+        )
+
+    CVArgs = NamedTuple("CVArgs", [("l2_regularization", Any)])  # type: ignore[misc]
+    results: Dict[str, Dict[Any, Any]] = {
+        SCORES_KNAME: {},
+        SDS_KNAME: {},
+        NRUNS_KNAME: {},
+    }
+    for l2 in l2_values:
+        mean_score, sd, n = raw[float(l2)]
+        label = CVArgs(l2_regularization=l2)
+        results[SCORES_KNAME][label] = mean_score
+        results[SDS_KNAME][label] = sd
+        results[NRUNS_KNAME][label] = n
     return results
 
 
