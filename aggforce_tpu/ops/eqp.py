@@ -63,7 +63,8 @@ def eqp_solve_auglag(
     A: jax.Array,
     B: jax.Array,
     rho: float = 30.0,
-    delta: float = 1e-4,
+    delta: float = 1e-6,
+    delta_fallback: float = 3e-4,
     iters: int = 10,
 ) -> jax.Array:
     r"""Augmented-Lagrangian equality-QP solve (Cholesky only, multi-RHS).
@@ -71,20 +72,21 @@ def eqp_solve_auglag(
     Iterates x = (P + rho A^T A + delta I)^{-1} A^T (y + rho b),
     y <- y + rho (b - A x); the fixed point satisfies the exact KKT
     conditions, with per-iteration constraint-error contraction ~ sigma(P)/rho
-    after equilibration. Uses a single unpivoted Cholesky factorization — on
-    TPU this both runs faster than the pivoted-LU KKT solve and compiles an
-    order of magnitude faster (batched pivoted LU is extremely expensive to
-    compile), which is why it is the default for jitted device paths.
-    Handles redundant constraint rows and PSD P (the rho A^T A + delta I
-    shift keeps the system positive definite).
+    after equilibration. Uses unpivoted Cholesky factorizations — on TPU this
+    both runs faster than the pivoted-LU KKT solve and compiles an order of
+    magnitude faster (batched pivoted LU is extremely expensive to compile),
+    which is why it is the default for jitted device paths. Handles redundant
+    constraint rows and PSD P.
+
+    Regularization is two-level: ``delta`` (tiny, negligible bias) is tried
+    first; float32 Gram accumulation can leave ~1e-4-scale indefiniteness on
+    the normalized matrix, and only when that makes the small-delta Cholesky
+    non-finite does the solve fall back to ``delta_fallback`` — so
+    well-behaved problems keep full accuracy while noisy ones stay finite.
     """
     dtype = P.dtype
     n = P.shape[0]
     p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
-    # symmetrize: float32 Gram accumulation leaves asymmetry/indefiniteness
-    # around the f32 noise floor (~1e-4 of the trace scale), which is also
-    # why the default delta sits above that floor — below it, Cholesky can
-    # hit a (numerically) indefinite matrix and emit NaNs.
     Pn = P / p_scale
     Pn = 0.5 * (Pn + Pn.T)
     row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
@@ -93,12 +95,17 @@ def eqp_solve_auglag(
     An = A / row_norm
     Bn = B / row_norm
     rho = jnp.asarray(rho, dtype)
-    M = (
-        Pn
-        + rho * jnp.matmul(An.T, An, precision="highest")
-        + jnp.asarray(delta, dtype) * jnp.eye(n, dtype=dtype)
+    M = Pn + rho * jnp.matmul(An.T, An, precision="highest")
+    eye = jnp.eye(n, dtype=dtype)
+    chol_small = jsl.cho_factor(M + jnp.asarray(delta, dtype) * eye, lower=True)
+    chol_big = jsl.cho_factor(
+        M + jnp.asarray(delta_fallback, dtype) * eye, lower=True
     )
-    chol = jsl.cho_factor(M, lower=True)
+    ok = jnp.isfinite(chol_small[0]).all()
+    chol = (
+        jnp.where(ok, chol_small[0], chol_big[0]),
+        chol_small[1],
+    )
 
     def body(_, carry):
         x, y = carry
@@ -199,13 +206,18 @@ def batched_eqp_solve_auglag(
     A: jax.Array,
     B: jax.Array,
     rho: float = 30.0,
-    delta: float = 1e-4,
+    delta: float = 1e-6,
+    delta_fallback: float = 3e-4,
     iters: int = 10,
 ) -> jax.Array:
     """Batched :func:`eqp_solve_auglag` over a leading axis (production
-    device solver: Cholesky-only, fast to compile and run)."""
+    device solver: Cholesky-only, fast to compile and run; per-problem
+    two-level regularization)."""
     return jax.vmap(
-        lambda p, a, b: eqp_solve_auglag(p, a, b, rho=rho, delta=delta, iters=iters)
+        lambda p, a, b: eqp_solve_auglag(
+            p, a, b, rho=rho, delta=delta,
+            delta_fallback=delta_fallback, iters=iters,
+        )
     )(P, A, B)
 
 

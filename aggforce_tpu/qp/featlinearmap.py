@@ -270,6 +270,11 @@ def qp_feat_linear_map(
                     jnp.asarray(constr_target[:, None], dtype=jnp.float32),
                 )
             )[:, 0]
+            if not np.all(np.isfinite(params)):
+                # rare f32 conditioning failure: retry with the f64 oracle
+                params = eqp_solve_host(
+                    gram, constr_mult, constr_target[:, None]
+                )[:, 0]
         if not np.all(np.isfinite(params)):
             raise ValueError("Map optimization failed.")
         per_site_coef.append(params)

@@ -469,6 +469,36 @@ class FusedGBMap(CLAMap):
             tags=tags,
         )
 
+    def __call__(self, points, copoints):
+        """Fused, frame-chunked application.
+
+        Overrides the generic CLAMap path (which materializes the full
+        (T, S, N) scale tensor): mapped forces are produced per frame chunk
+        with the weight contraction fused, so sweep-scale trajectories apply
+        in bounded memory.
+        """
+        t = points.shape[0]
+        chunk = 4096
+        outs = []
+        for lo in range(0, t, chunk):
+            hi = min(t, lo + chunk)
+            pts = jnp.asarray(points[lo:hi], dtype=self._coefs.dtype)
+            cps = jnp.asarray(copoints[lo:hi], dtype=self._coefs.dtype)
+            w = _fused_scale(
+                cps, self._coefs, self._cmap_mat, self._group_mean,
+                self._onehot, self._counts, self._centers, self._spec,
+            )
+            tr = _fused_trans(
+                cps, self._coefs, self._cmap_mat, self._group_mean,
+                self._onehot, self._counts, self._centers, self._kbt,
+                self._spec,
+            )
+            mapped = (
+                jnp.einsum("tsj,tjd->tsd", w, pts, precision="highest") + tr
+            )
+            outs.append(np.asarray(mapped))
+        return np.concatenate(outs, axis=0)
+
 
 def recognize_canonical_featurizer(featurizer) -> Optional[GBFeatSpec]:
     """Detect the canonical id_feat+gb_feat featurizer and extract its spec.
