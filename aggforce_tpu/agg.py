@@ -80,11 +80,12 @@ def project_forces(
     if isinstance(constrained_inds, str):
         if constrained_inds != PROJECT_FORCES_CNSTR_AUTO:
             raise ValueError(f"Unknown constraint mode '{constrained_inds}'.")
-        if not isinstance(coords, np.ndarray):
+        if coords is None or not hasattr(coords, "shape"):
             raise ValueError(
                 f"If constrained_inds is {PROJECT_FORCES_CNSTR_AUTO}, coords "
                 "cannot be None."
             )
+        # numpy and device-resident (jax) coordinate arrays both work here
         constrained_inds = guess_pairwise_constraints(coords)
     t = Trajectory(coords=coords, forces=forces)
     traj_map: TMap = method(
@@ -194,23 +195,17 @@ def _fast_grid_cv(
     if coord_map is None:
         return None
     constrained = kw.pop("constrained_inds", PROJECT_FORCES_CNSTR_AUTO)
-    if isinstance(constrained, str):
-        if constrained != PROJECT_FORCES_CNSTR_AUTO:
-            return None
-        constrained = guess_pairwise_constraints(coords)
     l2_values = list(cv_arg_dict["l2_regularization"])
 
+    # decide whether a fast path applies BEFORE doing any expensive work
     from .qp.cv import fused_gb_cv, linear_map_cv
+    from .qp.featlinearmap import qp_feat_linear_map
+    from .qp.fusedfeat import recognize_canonical_featurizer
 
-    if method is qp_linear_map and not kw:
-        raw = linear_map_cv(
-            coords, forces, coord_map, constrained,
-            l2_values=l2_values, n_folds=n_folds, rng=rng,
-        )
-    else:
-        from .qp.featlinearmap import qp_feat_linear_map
-        from .qp.fusedfeat import recognize_canonical_featurizer
-
+    use_linear = method is qp_linear_map and not kw
+    spec = kbt = None
+    n_cf = 20
+    if not use_linear:
         if method is not qp_feat_linear_map:
             return None
         featurizer = kw.pop("featurizer", None)
@@ -219,6 +214,17 @@ def _fast_grid_cv(
         spec = recognize_canonical_featurizer(featurizer)
         if spec is None or kbt is None or kw:
             return None
+    if isinstance(constrained, str):
+        if constrained != PROJECT_FORCES_CNSTR_AUTO:
+            return None
+        constrained = guess_pairwise_constraints(coords)
+
+    if use_linear:
+        raw = linear_map_cv(
+            coords, forces, coord_map, constrained,
+            l2_values=l2_values, n_folds=n_folds, rng=rng,
+        )
+    else:
         raw = fused_gb_cv(
             coords, forces, coord_map, constrained, kbt=kbt, spec=spec,
             l2_values=l2_values, n_folds=n_folds,

@@ -70,18 +70,9 @@ class JLinearMap(LinearMap):
                 )
         return np.asarray(result) if numpy_input else result
 
-    def flat_call(self, flattened: ArrT) -> ArrT:
-        """Apply to (n_frames, n_sites*n_dim) arrays (type preserved)."""
-        shape = flattened.shape
-        if len(shape) != 2:
-            raise ValueError(f"Expected rank-2 array; got shape {shape}.")
-        if shape[1] % self.n_dim != 0:
-            raise ValueError(
-                f"Array of shape {shape} is incompatible with n_dim {self.n_dim}."
-            )
-        reshaped = flattened.reshape(shape[0], shape[1] // self.n_dim, self.n_dim)
-        out = self(reshaped)
-        return out.reshape(out.shape[0], out.shape[1] * out.shape[2])
+    # flat_call is inherited: LinearMap.flat_call dispatches through
+    # self(...), which this class overrides, so the jitted type-preserving
+    # behavior carries over.
 
     def _like(self, matrix: np.ndarray) -> "JLinearMap":
         return JLinearMap(

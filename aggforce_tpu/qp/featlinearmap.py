@@ -268,6 +268,8 @@ def qp_feat_linear_map(
                     jnp.asarray(gram, dtype=jnp.float32),
                     jnp.asarray(constr_mult, dtype=jnp.float32),
                     jnp.asarray(constr_target[:, None], dtype=jnp.float32),
+                    delta=opts.get("delta", 1e-6),
+                    iters=opts.get("refine_iters", 10),
                 )
             )[:, 0]
             if not np.all(np.isfinite(params)):

@@ -17,9 +17,10 @@ per-site Gram accumulation for ALL cg sites at once, followed by one batched
 KKT solve. Nothing round-trips to the host; HBM holds only
 O(chunk * n_cg * n_fg * n_basis) intermediates.
 
-Map application is fused the same way (per-frame scale weights
-``w[t,c,j] = sum_feat feat[t,j,f] coef[c,f]`` computed on the fly), so the
-returned CLAFTMap maps forces with two einsums per chunk.
+Map application is fused the same way: each frame chunk runs one jitted
+kernel that computes the geometry once and emits the mapped forces directly
+(FusedGBMap.__call__), with the protocol-compatible scale/trans closures
+retained for CLAMap API parity.
 """
 
 from dataclasses import dataclass
@@ -214,6 +215,32 @@ def _scan_gram(
     return gram
 
 
+def _assemble_constraint_system(
+    constr_coords: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    spec: GBFeatSpec,
+    dtype,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-site constraint rows and targets shared by both fit paths."""
+    cg_constr = jnp.einsum(
+        "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+    )
+    a_rows = _constraint_rows(
+        constr_coords, cg_constr, cmap_mat, group_mean, onehot, counts,
+        centers, spec,
+    )  # (S, tc*S, K_exp)
+    s_dim = cmap_mat.shape[0]
+    tc = constr_coords.shape[0]
+    # b[s, (t, c)] = 1 when c == s
+    b = jnp.eye(s_dim, dtype=dtype)[:, None, :]
+    b = jnp.broadcast_to(b, (s_dim, tc, s_dim)).reshape(s_dim, tc * s_dim)
+    return a_rows, b
+
+
 @partial(
     jax.jit,
     static_argnames=("spec", "n_chunks", "mesh"),
@@ -268,18 +295,10 @@ def _fused_fit_parts(
             out_specs=P(),
         )(coords, forces, mask)
     gram = gram + l2_regularization * jnp.eye(k_exp, dtype=coords.dtype)
-
-    cg_constr = jnp.einsum(
-        "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+    a_rows, b = _assemble_constraint_system(
+        constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
+        coords.dtype,
     )
-    a_rows = _constraint_rows(
-        constr_coords, cg_constr, cmap_mat, group_mean, onehot, counts,
-        centers, spec,
-    )  # (S, tc*S, K_exp)
-    tc = constr_coords.shape[0]
-    # b[s, (t, c)] = 1 when c == s
-    b = jnp.eye(s_dim, dtype=coords.dtype)[:, None, :]  # (S, 1, S)
-    b = jnp.broadcast_to(b, (s_dim, tc, s_dim)).reshape(s_dim, tc * s_dim)
     return gram, a_rows, b
 
 
@@ -325,19 +344,45 @@ def _pallas_fit_parts(
         gram = gram[:, g:, g:]
     k_exp = gram.shape[-1]
     gram = gram + l2_regularization * jnp.eye(k_exp, dtype=coords.dtype)
-
-    cg_constr = jnp.einsum(
-        "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+    a_rows, b = _assemble_constraint_system(
+        constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
+        coords.dtype,
     )
-    a_rows = _constraint_rows(
-        constr_coords, cg_constr, cmap_mat, group_mean, onehot, counts,
-        centers, spec,
-    )
-    s_dim = cmap_mat.shape[0]
-    tc = constr_coords.shape[0]
-    b = jnp.eye(s_dim, dtype=coords.dtype)[:, None, :]
-    b = jnp.broadcast_to(b, (s_dim, tc, s_dim)).reshape(s_dim, tc * s_dim)
     return gram, a_rows, b
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_apply(
+    points: jax.Array,  # (t, N, 3) forces to map
+    copoints: jax.Array,  # (t, N, 3) coordinates (copoints)
+    coefs: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    spec: GBFeatSpec,
+) -> jax.Array:
+    """One-pass map application: geometry computed once, (t, S, 3) out."""
+    cg = jnp.einsum("sj,tjd->tsd", cmap_mat, copoints, precision="highest")
+    gauss, div = _group_feature_blocks(
+        copoints, cg, group_mean, counts, centers, spec
+    )
+    g = onehot.shape[1]
+    if spec.include_id:
+        coef_id, coef_gb = coefs[:, :g], coefs[:, g:]
+    else:
+        coef_id, coef_gb = None, coefs
+    coef_gb = coef_gb.reshape(coefs.shape[0], g, spec.n_basis)
+    w_group = jnp.einsum("tsgk,sgk->tsg", gauss, coef_gb, precision="highest")
+    if coef_id is not None:
+        w_group = w_group + coef_id[None]
+    w = jnp.einsum("tsg,jg->tsj", w_group, onehot, precision="highest")
+    tr = kbt * jnp.einsum(
+        "tsgka,sgk->tsa", div, coef_gb, precision="highest"
+    )
+    return jnp.einsum("tsj,tjd->tsd", w, points, precision="highest") + tr
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -473,28 +518,22 @@ class FusedGBMap(CLAMap):
         """Fused, frame-chunked application.
 
         Overrides the generic CLAMap path (which materializes the full
-        (T, S, N) scale tensor): mapped forces are produced per frame chunk
-        with the weight contraction fused, so sweep-scale trajectories apply
-        in bounded memory.
+        (T, S, N) scale tensor and recomputes the geometry for scale and
+        trans separately): each chunk runs one jitted kernel computing the
+        geometry once and emitting the mapped forces directly, so
+        sweep-scale trajectories apply in bounded memory.
         """
         t = points.shape[0]
         chunk = 4096
         outs = []
         for lo in range(0, t, chunk):
             hi = min(t, lo + chunk)
-            pts = jnp.asarray(points[lo:hi], dtype=self._coefs.dtype)
-            cps = jnp.asarray(copoints[lo:hi], dtype=self._coefs.dtype)
-            w = _fused_scale(
-                cps, self._coefs, self._cmap_mat, self._group_mean,
-                self._onehot, self._counts, self._centers, self._spec,
-            )
-            tr = _fused_trans(
-                cps, self._coefs, self._cmap_mat, self._group_mean,
+            mapped = _fused_apply(
+                jnp.asarray(points[lo:hi], dtype=self._coefs.dtype),
+                jnp.asarray(copoints[lo:hi], dtype=self._coefs.dtype),
+                self._coefs, self._cmap_mat, self._group_mean,
                 self._onehot, self._counts, self._centers, self._kbt,
                 self._spec,
-            )
-            mapped = (
-                jnp.einsum("tsj,tjd->tsd", w, pts, precision="highest") + tr
             )
             outs.append(np.asarray(mapped))
         return np.concatenate(outs, axis=0)
@@ -530,11 +569,9 @@ def recognize_canonical_featurizer(featurizer) -> Optional[GBFeatSpec]:
     if isinstance(featurizer, Multifeaturize):
         subs = list(featurizer.featurizers)
         if len(subs) == 2 and _id_feat in subs:
+            # either ordering: the fitted map is invariant to feature-column
+            # permutation, and the fused path uses its own internal layout
             other = subs[1] if subs[0] is _id_feat else subs[0]
-            if subs[0] is not _id_feat:
-                # fused layout places id features first; only the canonical
-                # [id_feat, gb] ordering maps onto it
-                return None
             return curry_spec(other, include_id=True)
         return None
     return curry_spec(featurizer, include_id=False)
@@ -550,8 +587,8 @@ def fused_gb_linear_map(
     l2_regularization: float = 1e1,
     chunk_size: int = 2048,
     constraint_rng: Optional[np.random.Generator] = None,
-    delta: float = 1e-6,
-    refine_iters: int = 4,
+    solver_delta: float = 1e-6,
+    solver_iters: int = 10,
     mesh=None,
     use_pallas: Union[bool, str] = "auto",
 ) -> CLAFTMap:
@@ -669,7 +706,9 @@ def fused_gb_linear_map(
             n_chunks,
             mesh=mesh,
         )
-    coefs = batched_eqp_solve_auglag(gram, a_rows, b[..., None])[..., 0]
+    coefs = batched_eqp_solve_auglag(
+        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters
+    )[..., 0]
     coefs_np = np.asarray(coefs)
     if not np.all(np.isfinite(coefs_np)):
         # f32 LU on ill-conditioned feature Grams can fail on some backends;

@@ -36,14 +36,14 @@ from ..trajectory import ForcesTrajectory
 
 
 class SolverOptions(TypedDict, total=False):
-    """Knobs for the KKT solver.
+    """Knobs for the constrained solvers.
 
-    ``backend``: "device" (jitted f32 path), "host" (float64 LAPACK), or
-    "auto" (host for small problems / float64 inputs, device otherwise).
-    ``delta``: relative KKT regularization. ``refine_iters``: iterative
-    refinement sweeps. Unknown keys (e.g. the reference's OSQP options such as
-    "solver", "eps_abs", "max_iter", "polish") are accepted and ignored so
-    reference call sites keep working.
+    ``backend``: "device" (jitted f32 augmented-Lagrangian path), "host"
+    (float64 LAPACK KKT), "native" (in-tree C++), or "auto". ``delta``:
+    diagonal regularization after equilibration. ``refine_iters``: dual /
+    refinement iterations of the chosen solver. Unknown keys (e.g. the
+    reference's OSQP options such as "solver", "eps_abs", "max_iter",
+    "polish") are accepted and ignored so reference call sites keep working.
     """
 
     backend: str

@@ -14,7 +14,7 @@ work for what is almost always a *diagonal* covariance. Here:
   * scalar covariance uses the closed form  grad_y log g = -(y - Ax)/var  and
     samples y = Ax + sqrt(var) * eps with eps ~ N(0, I) — O(D) per frame, no
     covariance matrix ever materialized on the hot path;
-  * grad_x log g = A^T (Ax - y)/var is computed with one VJP through the
+  * grad_x log g = A^T (y - Ax)/var is computed with one VJP through the
     premap callable (exact for the linear premaps used everywhere), instead of
     differentiating the full logpdf;
   * full-matrix covariance keeps a Cholesky-based path for parity.

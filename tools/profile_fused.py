@@ -18,7 +18,7 @@ from aggforce_tpu.qp.fusedfeat import (  # noqa: E402
     _constraint_rows,
     _scan_gram,
 )
-from aggforce_tpu.ops.eqp import batched_eqp_solve  # noqa: E402
+from aggforce_tpu.ops.eqp import batched_eqp_solve_auglag  # noqa: E402
 from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms  # noqa: E402
 from aggforce_tpu.utils.synth import synthesize_protein_fixture  # noqa: E402
 
@@ -106,5 +106,5 @@ tc = 20
 for s in range(S):
     b[s, np.arange(tc) * S + s, 0] = 1.0
 b = jnp.asarray(b)
-solve = timed("batched KKT solve", lambda: batched_eqp_solve(gram_l2, rows, b))
+solve = timed("batched auglag solve", lambda: batched_eqp_solve_auglag(gram_l2, rows, b))
 print("coef finite:", bool(jnp.isfinite(solve).all()))
