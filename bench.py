@@ -31,6 +31,26 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled executables across bench processes when supported.
+
+    First-call compile latency through the remote-compile service is highly
+    variable (observed 24-260 s for the same program); a local disk cache
+    makes repeat runs deterministic-fast where the backend supports
+    serialization.
+    """
+    import jax
+
+    cache_dir = os.environ.get(
+        "AGGFORCE_COMPILE_CACHE", "/tmp/aggforce_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        log(f"compilation cache unavailable: {e}")
+
+
 def build_fixture(n_frames: int):
     from aggforce_tpu import LinearMap
     from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms
@@ -124,6 +144,7 @@ def run_sweep() -> None:
 
 
 def main() -> None:
+    _enable_compile_cache()
     if os.environ.get("BENCH_MODE", "").lower() == "sweep":
         run_sweep()
         return

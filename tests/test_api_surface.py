@@ -185,6 +185,23 @@ def test_lazy_protocol_featurizer_path(waterdimer):
     assert np.isfinite(mapped).all()
 
 
+def test_models_registry(waterdimer):
+    from aggforce_tpu import LinearMap, project_forces
+    from aggforce_tpu.models import MAP_FAMILIES, available_families, get_map_builder
+
+    assert set(available_families()) == set(MAP_FAMILIES)
+    with pytest.raises(ValueError):
+        get_map_builder("bogus")
+    res = project_forces(
+        coords=waterdimer["coords"][:40],
+        forces=waterdimer["forces"][:40],
+        coord_map=LinearMap([[0], [3]], n_fg_sites=6),
+        constrained_inds=set(),
+        method=get_map_builder("basic"),
+    )
+    assert np.isfinite(res["mapped_forces"]).all()
+
+
 def test_curry_semantics():
     from aggforce_tpu.utils import Curry, curry
 
