@@ -199,6 +199,16 @@ def qp_linear_map(
                 n_chunks=n_chunks,
             )
         )
+    if isinstance(traj.forces, jax.Array):
+        # device-resident input -> device-native maps, so downstream
+        # application stays on device (jax in -> jax out) with no host
+        # round-trips of trajectory-sized arrays
+        from ..map import JLinearMap
+
+        return SeperableTMap(
+            coord_map=JLinearMap.from_linearmap(coord_map),
+            force_map=JLinearMap(fmap_mat),
+        )
     force_map = LinearMap(fmap_mat)
     return SeperableTMap(coord_map=coord_map, force_map=force_map)
 

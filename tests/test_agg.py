@@ -102,6 +102,30 @@ def test_auto_constraints_and_uni_map(cln_fixture, cln_ca_map):
                 assert all(row[i] == 1.0 for i in group)
 
 
+def test_device_resident_pipeline_stays_on_device(cln_fixture, cln_ca_map):
+    """Fitting on jax arrays must return maps that keep jax arrays on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from aggforce_tpu.map import JLinearMap
+    from aggforce_tpu.qp import qp_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = jnp.asarray(cln_fixture["coords"][:200])
+    forces = jnp.asarray(cln_fixture["forces"][:200])
+    tmap = qp_linear_map(
+        Trajectory(coords=coords, forces=forces),
+        cln_ca_map,
+        constraints=set(cln_fixture["constraint_groups"]),
+    )
+    assert isinstance(tmap.force_map, JLinearMap)
+    mapped = tmap.force_map(forces)
+    assert isinstance(mapped, jax.Array)
+    # numpy callers still get numpy out
+    mapped_np = tmap.force_map(np.asarray(forces))
+    assert isinstance(mapped_np, np.ndarray)
+
+
 def test_optimal_map_obeys_orthogonality(cln_fixture, cln_ca_map):
     """Force map must satisfy M F^T = I (constraint orthogonality)."""
     coords = cln_fixture["coords"][:500]

@@ -1,0 +1,44 @@
+"""Smoke tests for the example scripts (tiny sizes)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+needs_pdb = pytest.mark.skipif(
+    not Path("/root/reference/tests/data/cln025.pdb").exists(),
+    reason="cln025.pdb unavailable",
+)
+
+
+def _run(script: str, *args: str) -> subprocess.CompletedProcess:
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, str(REPO / "examples" / script), *args],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env=env,
+        cwd=str(REPO),
+    )
+
+
+@pytest.mark.slow
+@needs_pdb
+def test_gauss_example():
+    proc = _run("gauss.py", "--frames", "80")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "in-sample force residuals" in proc.stdout
+    assert "staged save/load OK" in proc.stdout
+
+
+@pytest.mark.slow
+@needs_pdb
+def test_cv_feat_example():
+    proc = _run("cv_feat.py", "--frames", "90", "--folds", "2")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "best grid point" in proc.stdout
