@@ -302,6 +302,64 @@ def _fused_fit_parts(
     return gram, a_rows, b
 
 
+@partial(jax.jit, static_argnames=("spec", "t_block", "mesh"))
+def _pallas_mesh_fit_parts(
+    coords: jax.Array,  # (T_pad, N, 3), frame-sharded over the mesh
+    forces: jax.Array,
+    mask: jax.Array,
+    constr_coords: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    mesh,
+    t_block: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-chip Pallas assembly: each device runs the fused Gram kernel on
+    its local frame shard; one psum over the ICI merges per-site Grams."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_gram import pack_operands, pallas_site_grams, unpack_gram
+
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def local(cc, fc, mc):
+        gpos, cgp, fgp, centers_flat, kcounts = pack_operands(
+            cc, fc, mc, cmap_mat, group_mean, onehot, counts, kbt,
+            spec.n_basis, centers,
+        )
+        g_pad = pallas_site_grams(
+            gpos, cgp, fgp, mc, centers_flat, kcounts,
+            n_basis=spec.n_basis, width=spec.width, clip=spec.clip,
+            t_block=t_block, interpret=interpret,
+        )
+        return jax.lax.psum(g_pad, "frames")
+
+    gram_pad = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frames"), P("frames"), P("frames")),
+        out_specs=P(),
+        # pallas_call outputs do not carry varying-mesh-axis metadata yet
+        check_vma=False,
+    )(coords, forces, mask)
+    g = group_mean.shape[0]
+    gram = unpack_gram(gram_pad, g, spec.n_basis)
+    if not spec.include_id:
+        gram = gram[:, g:, g:]
+    k_exp = gram.shape[-1]
+    gram = gram + l2_regularization * jnp.eye(k_exp, dtype=coords.dtype)
+    a_rows, b = _assemble_constraint_system(
+        constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
+        coords.dtype,
+    )
+    return gram, a_rows, b
+
+
 @partial(jax.jit, static_argnames=("spec", "t_block"))
 def _pallas_fit_parts(
     coords: jax.Array,  # (T_pad, N, 3)
@@ -623,6 +681,9 @@ def fused_gb_linear_map(
     pad = t_pad - t
 
     rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
+    # short trajectories: cannot sample more distinct constraint frames than
+    # exist, so clamp (every frame then anchors the orthogonality rows)
+    n_constraint_frames = min(n_constraint_frames, t)
     frame_idx = rng.choice(t, size=n_constraint_frames, replace=False)
 
     dtype = jnp.float32
@@ -671,10 +732,42 @@ def fused_gb_linear_map(
 
         use_pallas = (
             os.environ.get("AGGFORCE_PALLAS", "1") == "1"
-            and mesh is None
             and jax.devices()[0].platform == "tpu"
         )
-    if use_pallas:
+    if use_pallas and mesh is not None:
+        # mesh variant needs per-shard frame counts divisible by t_block
+        n_dev = int(mesh.devices.size)
+        t_blk = 256
+        t_now = coords_dev.shape[0]
+        extra = (-t_now) % (n_dev * t_blk)
+        if extra:
+            pad3 = ((0, extra), (0, 0), (0, 0))
+            coords_dev = jnp.pad(coords_dev, pad3)
+            forces_dev = jnp.pad(forces_dev, pad3)
+            mask_dev = jnp.pad(mask_dev, (0, extra))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("frames"))
+            coords_dev = jax.device_put(coords_dev, sharding)
+            forces_dev = jax.device_put(forces_dev, sharding)
+            mask_dev = jax.device_put(mask_dev, sharding)
+        gram, a_rows, b = _pallas_mesh_fit_parts(
+            coords_dev,
+            forces_dev,
+            mask_dev,
+            constr_coords,
+            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+            jnp.asarray(group_mean, dtype=dtype),
+            jnp.asarray(onehot, dtype=dtype),
+            jnp.asarray(counts, dtype=dtype),
+            jnp.asarray(centers, dtype=dtype),
+            jnp.asarray(kbt, dtype=dtype),
+            jnp.asarray(l2_regularization, dtype=dtype),
+            spec,
+            mesh=mesh,
+            t_block=t_blk,
+        )
+    elif use_pallas:
         gram, a_rows, b = _pallas_fit_parts(
             coords_dev,
             forces_dev,

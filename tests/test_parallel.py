@@ -86,6 +86,39 @@ def test_sharded_fused_feat_fit_matches_single_device():
 
 
 @needs_mesh
+def test_sharded_pallas_feat_fit_matches_single_device():
+    """Pallas gram inside shard_map (interpret mode on CPU) == single device."""
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+
+    rng = np.random.default_rng(9)
+    n_frames, n_fg = 70, 8
+    coords = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    cmap = LinearMap([[0], [4]], n_fg_sites=n_fg)
+    constraints = {frozenset({1, 2})}
+    spec = GBFeatSpec(outer=1.5, n_basis=4)
+    common = dict(
+        kbt=0.7,
+        spec=spec,
+        constraints=constraints,
+        l2_regularization=1.0,
+        n_constraint_frames=10,
+    )
+    traj = Trajectory(coords=coords, forces=forces)
+    single = fused_gb_linear_map(
+        traj, cmap, constraint_rng=np.random.default_rng(5),
+        use_pallas=True, **common,
+    )
+    sharded = fused_gb_linear_map(
+        traj, cmap, constraint_rng=np.random.default_rng(5),
+        mesh=make_mesh(axis_name="frames"), use_pallas=True, **common,
+    )
+    _, f_single = single.map_arrays(coords[:20], forces[:20])
+    _, f_sharded = sharded.map_arrays(coords[:20], forces[:20])
+    np.testing.assert_allclose(f_sharded, f_single, atol=2e-3)
+
+
+@needs_mesh
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
