@@ -60,9 +60,26 @@ def _masked_design_gram(
 
 
 @jax.jit
-def _quad_scores(gram: jax.Array, x: jax.Array) -> jax.Array:
-    """sum_i x_i^T G x_i for per-site solution columns x (R, S)."""
-    return jnp.sum(x * jnp.matmul(gram, x, precision="highest"))
+def _fold_quad_scores(grams: jax.Array, x: jax.Array) -> jax.Array:
+    """Per-fold quadratic forms, batched over leading fold (+site) axes.
+
+    grams (k, ..., K, K), x (k, ..., K[, S]) -> (k,). Keeping this one jitted
+    call per l2 value (instead of a python float() per fold) means the whole
+    CV grid dispatches asynchronously and syncs to the host exactly once.
+    """
+    gx = jnp.einsum("...ij,...j->...i", grams, x, precision="highest")
+    return jnp.sum(x * gx, axis=tuple(range(1, x.ndim)))
+
+
+def _score_table(l2_values, qf_all: np.ndarray, denoms: np.ndarray):
+    """{l2: (mean, sd, k)} from per-(l2, fold) quadratic forms and denoms."""
+    out = {}
+    for i, l2 in enumerate(l2_values):
+        scores = qf_all[i] / denoms
+        mean = float(scores.mean())
+        sd = float(scores.std(ddof=1)) if scores.size > 1 else None
+        out[float(l2)] = (mean, sd, int(scores.size))
+    return out
 
 
 def linear_map_cv(
@@ -111,24 +128,21 @@ def linear_map_cv(
     basis = jnp.eye(coord_map.n_cg_sites, dtype=dtype)
     ridge = jnp.matmul(con_dev.T, con_dev, precision="highest")
 
-    out: Dict[float, Tuple[Optional[float], Optional[float], int]] = {}
     a_batch = jnp.broadcast_to(a_mat, (n_folds,) + a_mat.shape)
     b_batch = jnp.broadcast_to(basis, (n_folds,) + basis.shape)
+    qf_per_l2 = []
     for l2 in l2_values:
         p_batch = (g_total - grams) + l2 * ridge
         x = batched_eqp_solve_auglag(p_batch, a_batch, b_batch)  # (k, R, S)
-        scores = []
-        for f, idx in enumerate(folds):
-            denom = 3 * len(idx) * coord_map.n_cg_sites
-            scores.append(float(_quad_scores(grams[f], x[f])) / denom)
-        mean = sum(scores) / len(scores)
-        sd = (
-            (sum((s - mean) ** 2 for s in scores) / (len(scores) - 1)) ** 0.5
-            if len(scores) > 1
-            else None
-        )
-        out[float(l2)] = (mean, sd, len(scores))
-    return out
+        # x^T G x per fold, summed over sites: einsum with x as (k, R*S)
+        xs = jnp.swapaxes(x, 1, 2)  # (k, S, R)
+        qf_per_l2.append(_fold_quad_scores(grams[:, None], xs))
+    # one host sync for the whole grid (every solve above is async)
+    qf_all = np.asarray(jnp.stack(qf_per_l2))  # (n_l2, k)
+    denoms = np.array(
+        [3 * len(idx) * coord_map.n_cg_sites for idx in folds], dtype=np.float64
+    )
+    return _score_table(l2_values, qf_all, denoms)
 
 
 def fused_gb_cv(
@@ -142,6 +156,7 @@ def fused_gb_cv(
     n_folds: int = 5,
     n_constraint_frames: int = 20,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ) -> Dict[float, Tuple[Optional[float], Optional[float], int]]:
     """K-fold CV of the canonical featurized map over an l2 grid, one pass.
 
@@ -149,9 +164,16 @@ def fused_gb_cv(
     Grams accumulate in a single trajectory pass, train Grams come from
     subtraction, the (fold x site) constrained solves are one batched
     Cholesky per l2 value, and holdout scores are Gram quadratic forms.
+    With ``mesh`` (1-D, axis "frames") each fold's Gram pass shards its
+    frames over the devices with a psum reduction.
     """
     from .featlinearmap import id_feat
-    from .fusedfeat import _basis_centers, _constraint_rows, _scan_gram
+    from .fusedfeat import (
+        _basis_centers,
+        _constraint_rows,
+        _scan_gram,
+        _sharded_scan_gram,
+    )
 
     if rng is None:
         rng = np.random.default_rng()
@@ -183,23 +205,40 @@ def fused_gb_cv(
 
     # per-fold heldout Grams — one total pass, identical program per fold
     chunk = 1024
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
     pad_len = max(len(f) for f in folds)
-    n_chunks = max(1, -(-pad_len // chunk))
+    n_chunks = n_dev * max(1, -(-pad_len // (n_dev * chunk)))
     pad_len = n_chunks * (-(-pad_len // n_chunks))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        frame_sharding = NamedSharding(mesh, P("frames"))
     grams = []
     for idx in folds:
         sel = np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
         mask = np.concatenate(
             [np.ones(len(idx)), np.zeros(pad_len - len(idx))]
         ).astype(np.float32)
-        grams.append(
-            _scan_gram(
-                coords_dev[jnp.asarray(sel)],
-                forces_dev[jnp.asarray(sel)],
-                jnp.asarray(mask),
-                cmap_mat, gm, oh, ct, cen, kbt_dev, spec, n_chunks,
+        cc = coords_dev[jnp.asarray(sel)]
+        fc = forces_dev[jnp.asarray(sel)]
+        mc = jnp.asarray(mask)
+        if mesh is None:
+            grams.append(
+                _scan_gram(
+                    cc, fc, mc, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
+                    n_chunks,
+                )
             )
-        )
+        else:
+            cc = jax.device_put(cc, frame_sharding)
+            fc = jax.device_put(fc, frame_sharding)
+            mc = jax.device_put(mc, frame_sharding)
+            grams.append(
+                _sharded_scan_gram(
+                    cc, fc, mc, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
+                    n_chunks, mesh,
+                )
+            )
     grams = jnp.stack(grams)  # (k, S, K, K)
     g_total = jnp.sum(grams, axis=0)
 
@@ -224,7 +263,7 @@ def fused_gb_cv(
     b_all = jnp.asarray(np.stack(b_list), dtype)  # (k, S, m)
 
     k_exp = grams.shape[-1]
-    out: Dict[float, Tuple[Optional[float], Optional[float], int]] = {}
+    qf_per_l2 = []
     for l2 in l2_values:
         p = (g_total[None] - grams) + l2 * jnp.eye(k_exp, dtype=dtype)
         flat_p = p.reshape(n_folds * s_dim, k_exp, k_exp)
@@ -232,17 +271,10 @@ def fused_gb_cv(
         flat_b = b_all.reshape(n_folds * s_dim, -1, 1)
         x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)[..., 0]
         x = x.reshape(n_folds, s_dim, k_exp)
-        scores = []
-        for f, idx in enumerate(folds):
-            qf = jnp.einsum(
-                "sk,skl,sl->", x[f], grams[f], x[f], precision="highest"
-            )
-            scores.append(float(qf) / (3 * len(idx) * s_dim))
-        mean = sum(scores) / len(scores)
-        sd = (
-            (sum((s - mean) ** 2 for s in scores) / (len(scores) - 1)) ** 0.5
-            if len(scores) > 1
-            else None
-        )
-        out[float(l2)] = (mean, sd, len(scores))
-    return out
+        qf_per_l2.append(_fold_quad_scores(grams, x))
+    # one host sync for the whole grid (every solve above is async)
+    qf_all = np.asarray(jnp.stack(qf_per_l2))  # (n_l2, k)
+    denoms = np.array(
+        [3 * len(idx) * s_dim for idx in folds], dtype=np.float64
+    )
+    return _score_table(l2_values, qf_all, denoms)

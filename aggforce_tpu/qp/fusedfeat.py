@@ -245,6 +245,44 @@ def _assemble_constraint_system(
     jax.jit,
     static_argnames=("spec", "n_chunks", "mesh"),
 )
+def _sharded_scan_gram(
+    coords: jax.Array,
+    forces: jax.Array,
+    mask: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    mesh,
+) -> jax.Array:
+    """Frame-sharded fused Gram: local scans per device + one psum over ICI.
+
+    ``n_chunks`` is the global chunk count and must be divisible by the mesh
+    size; each device scans its n_chunks/n_dev local chunks.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+
+    def local(cc, fc, mc):
+        g = _scan_gram(
+            cc, fc, mc, cmap_mat, group_mean, onehot, counts, centers,
+            kbt, spec, n_chunks // n_dev, vary_axis="frames",
+        )
+        return jax.lax.psum(g, "frames")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frames"), P("frames"), P("frames")),
+        out_specs=P(),
+    )(coords, forces, mask)
+
+
 def _fused_fit_parts(
     coords: jax.Array,  # (T_pad, N, 3)
     forces: jax.Array,  # (T_pad, N, 3)
@@ -277,23 +315,10 @@ def _fused_fit_parts(
             centers, kbt, spec, n_chunks,
         )
     else:
-        from jax.sharding import PartitionSpec as P
-
-        n_dev = mesh.devices.size
-
-        def local(cc, fc, mc):
-            g = _scan_gram(
-                cc, fc, mc, cmap_mat, group_mean, onehot, counts, centers,
-                kbt, spec, n_chunks // n_dev, vary_axis="frames",
-            )
-            return jax.lax.psum(g, "frames")
-
-        gram = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P("frames"), P("frames"), P("frames")),
-            out_specs=P(),
-        )(coords, forces, mask)
+        gram = _sharded_scan_gram(
+            coords, forces, mask, cmap_mat, group_mean, onehot, counts,
+            centers, kbt, spec, n_chunks, mesh,
+        )
     gram = gram + l2_regularization * jnp.eye(k_exp, dtype=coords.dtype)
     a_rows, b = _assemble_constraint_system(
         constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,

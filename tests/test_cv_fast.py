@@ -149,3 +149,35 @@ def test_linear_cv_with_constraints(cln_fixture, cln_ca_map):
     # changing the holdout score; just require both finite and distinct
     scores = [v[0] for v in out.values()]
     assert abs(scores[0] - scores[1]) >= 0.0
+
+
+def test_fused_gb_cv_mesh_matches_single_device(waterdimer):
+    """Frame-sharded fold Grams must reproduce the single-device CV table."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual) mesh")
+    from aggforce_tpu.parallel import make_mesh
+    from aggforce_tpu.qp.cv import fused_gb_cv
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec
+
+    coords = waterdimer["coords"][:150]
+    forces = waterdimer["forces"][:150]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    common = dict(
+        coord_map=cmap, constraints=set(), kbt=0.5, spec=spec,
+        l2_values=[1e1, 1e3], n_folds=3, n_constraint_frames=10,
+    )
+    single = fused_gb_cv(coords, forces, rng=np.random.default_rng(2), **common)
+    meshed = fused_gb_cv(
+        coords, forces, rng=np.random.default_rng(2),
+        mesh=make_mesh(axis_name="frames"), **common,
+    )
+    for l2 in common["l2_values"]:
+        m_s, sd_s, n_s = single[float(l2)]
+        m_m, sd_m, n_m = meshed[float(l2)]
+        assert n_s == n_m == 3
+        np.testing.assert_allclose(m_m, m_s, rtol=2e-3)
+        np.testing.assert_allclose(sd_m, sd_s, rtol=5e-2)
