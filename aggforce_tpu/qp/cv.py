@@ -60,15 +60,66 @@ def _masked_design_gram(
 
 
 @jax.jit
-def _fold_quad_scores(grams: jax.Array, x: jax.Array) -> jax.Array:
-    """Per-fold quadratic forms, batched over leading fold (+site) axes.
+def _linear_solve_scores(
+    grams: jax.Array,  # (k, R, R) heldout Grams
+    a_mat: jax.Array,  # (S, R)
+    basis: jax.Array,  # (S, S)
+    ridge: jax.Array,  # (R, R)
+    l2_vec: jax.Array,  # (n_l2,)
+) -> jax.Array:
+    """Every (l2, fold) linear-map fit + holdout score in ONE device call.
 
-    grams (k, ..., K, K), x (k, ..., K[, S]) -> (k,). Keeping this one jitted
-    call per l2 value (instead of a python float() per fold) means the whole
-    CV grid dispatches asynchronously and syncs to the host exactly once.
+    Returns the (n_l2, k) holdout quadratic forms x^T G_heldout x. Batching
+    the whole grid into a single dispatch matters on remote-attached
+    devices, where each call carries transport latency.
     """
-    gx = jnp.einsum("...ij,...j->...i", grams, x, precision="highest")
-    return jnp.sum(x * gx, axis=tuple(range(1, x.ndim)))
+    k = grams.shape[0]
+    n_l2 = l2_vec.shape[0]
+    g_total = jnp.sum(grams, axis=0)
+    p_all = (g_total - grams)[None] + l2_vec[:, None, None, None] * ridge
+    flat_p = p_all.reshape(n_l2 * k, *grams.shape[1:])
+    flat_a = jnp.broadcast_to(a_mat, (n_l2 * k,) + a_mat.shape)
+    flat_b = jnp.broadcast_to(basis, (n_l2 * k,) + basis.shape)
+    x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)  # (n_l2*k, R, S)
+    x = x.reshape(n_l2, k, *x.shape[1:])
+    gx = jnp.einsum("fij,lfjs->lfis", grams, x, precision="highest")
+    return jnp.sum(x * gx, axis=(2, 3))  # (n_l2, k)
+
+
+@jax.jit
+def _featurized_solve_scores(
+    grams: jax.Array,  # (k, S, K, K) heldout featurized Grams
+    rows: jax.Array,  # (k, S, m, K) constraint rows
+    b_all: jax.Array,  # (k, S, m)
+    l2_vec: jax.Array,  # (n_l2,)
+) -> jax.Array:
+    """Every (l2, fold, site) featurized fit + holdout score in ONE call."""
+    k, s_dim, k_exp = grams.shape[0], grams.shape[1], grams.shape[-1]
+    n_l2 = l2_vec.shape[0]
+    g_total = jnp.sum(grams, axis=0)
+    eye = jnp.eye(k_exp, dtype=grams.dtype)
+    p_all = (g_total - grams)[None] + l2_vec[:, None, None, None, None] * eye
+    flat = n_l2 * k * s_dim
+    flat_p = p_all.reshape(flat, k_exp, k_exp)
+    flat_a = jnp.broadcast_to(rows, (n_l2,) + rows.shape).reshape(
+        flat, rows.shape[2], k_exp
+    )
+    flat_b = jnp.broadcast_to(b_all, (n_l2,) + b_all.shape).reshape(
+        flat, -1, 1
+    )
+    x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)[..., 0]
+    x = x.reshape(n_l2, k, s_dim, k_exp)
+    gx = jnp.einsum("fsij,lfsj->lfsi", grams, x, precision="highest")
+    return jnp.sum(x * gx, axis=(2, 3))  # (n_l2, k)
+
+
+def _l2_blocks(
+    n_l2: int, per_system_bytes: int, n_systems_per_l2: int
+) -> int:
+    """How many l2 values fit per solve dispatch under ~1 GiB of factors."""
+    budget = 1 << 30
+    per_l2 = max(1, per_system_bytes * n_systems_per_l2)
+    return max(1, min(n_l2, budget // per_l2))
 
 
 def _score_table(l2_values, qf_all: np.ndarray, denoms: np.ndarray):
@@ -106,39 +157,39 @@ def linear_map_cv(
     forces_dev = (
         forces if isinstance(forces, jax.Array) else jnp.asarray(forces, dtype)
     )
-    # per-fold heldout Grams: one total pass over the trajectory
+    # per-fold heldout Grams: one total pass, one vmapped dispatch
     pad_len = max(len(f) for f in folds)
-    grams = []
-    for idx in folds:
-        sel = np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
-        mask = np.concatenate(
-            [np.ones(len(idx)), np.zeros(pad_len - len(idx))]
-        )
-        grams.append(
-            _masked_design_gram(
-                forces_dev[jnp.asarray(sel)],
-                jnp.asarray(mask, dtype),
-                con_dev,
-            )
-        )
-    grams = jnp.stack(grams)  # (k, R, R)
-    g_total = jnp.sum(grams, axis=0)
+    sel_all = np.stack(
+        [
+            np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
+            for idx in folds
+        ]
+    )
+    mask_all = np.stack(
+        [
+            np.concatenate([np.ones(len(idx)), np.zeros(pad_len - len(idx))])
+            for idx in folds
+        ]
+    )
+    grams = jax.vmap(_masked_design_gram, in_axes=(0, 0, None))(
+        forces_dev[jnp.asarray(sel_all)], jnp.asarray(mask_all, dtype), con_dev
+    )  # (k, R, R)
 
     a_mat = jnp.asarray(coord_map.standard_matrix, dtype) @ con_dev
     basis = jnp.eye(coord_map.n_cg_sites, dtype=dtype)
     ridge = jnp.matmul(con_dev.T, con_dev, precision="highest")
 
-    a_batch = jnp.broadcast_to(a_mat, (n_folds,) + a_mat.shape)
-    b_batch = jnp.broadcast_to(basis, (n_folds,) + basis.shape)
-    qf_per_l2 = []
-    for l2 in l2_values:
-        p_batch = (g_total - grams) + l2 * ridge
-        x = batched_eqp_solve_auglag(p_batch, a_batch, b_batch)  # (k, R, S)
-        # x^T G x per fold, summed over sites: einsum with x as (k, R*S)
-        xs = jnp.swapaxes(x, 1, 2)  # (k, S, R)
-        qf_per_l2.append(_fold_quad_scores(grams[:, None], xs))
-    # one host sync for the whole grid (every solve above is async)
-    qf_all = np.asarray(jnp.stack(qf_per_l2))  # (n_l2, k)
+    # every (l2, fold) fit + score is one dispatch per memory-bounded block
+    r = con_mat.shape[1]
+    block = _l2_blocks(len(l2_values), 4 * r * r, n_folds)
+    qf_blocks = []
+    for i in range(0, len(l2_values), block):
+        l2_vec = jnp.asarray(list(l2_values[i : i + block]), dtype)
+        qf_blocks.append(
+            _linear_solve_scores(grams, a_mat, basis, ridge, l2_vec)
+        )
+    # one host sync for the whole grid (every call above is async)
+    qf_all = np.asarray(jnp.concatenate(qf_blocks, axis=0))  # (n_l2, k)
     denoms = np.array(
         [3 * len(idx) * coord_map.n_cg_sites for idx in folds], dtype=np.float64
     )
@@ -213,67 +264,84 @@ def fused_gb_cv(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         frame_sharding = NamedSharding(mesh, P("frames"))
-    grams = []
-    for idx in folds:
-        sel = np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
-        mask = np.concatenate(
-            [np.ones(len(idx)), np.zeros(pad_len - len(idx))]
-        ).astype(np.float32)
-        cc = coords_dev[jnp.asarray(sel)]
-        fc = forces_dev[jnp.asarray(sel)]
-        mc = jnp.asarray(mask)
-        if mesh is None:
-            grams.append(
-                _scan_gram(
-                    cc, fc, mc, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
-                    n_chunks,
-                )
+    sel_all = np.stack(
+        [
+            np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
+            for idx in folds
+        ]
+    )
+    mask_all = np.stack(
+        [
+            np.concatenate([np.ones(len(idx)), np.zeros(pad_len - len(idx))])
+            for idx in folds
+        ]
+    ).astype(np.float32)
+    if mesh is None:
+        # all fold Grams in one vmapped dispatch
+        def _one_fold(sel_f, mask_f):
+            return _scan_gram(
+                coords_dev[sel_f], forces_dev[sel_f], mask_f, cmap_mat, gm,
+                oh, ct, cen, kbt_dev, spec, n_chunks,
             )
-        else:
-            cc = jax.device_put(cc, frame_sharding)
-            fc = jax.device_put(fc, frame_sharding)
-            mc = jax.device_put(mc, frame_sharding)
+
+        grams = jax.vmap(_one_fold)(
+            jnp.asarray(sel_all), jnp.asarray(mask_all)
+        )  # (k, S, K, K)
+    else:
+        grams = []
+        for f in range(n_folds):
+            cc = jax.device_put(
+                coords_dev[jnp.asarray(sel_all[f])], frame_sharding
+            )
+            fc = jax.device_put(
+                forces_dev[jnp.asarray(sel_all[f])], frame_sharding
+            )
+            mc = jax.device_put(jnp.asarray(mask_all[f]), frame_sharding)
             grams.append(
                 _sharded_scan_gram(
                     cc, fc, mc, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
                     n_chunks, mesh,
                 )
             )
-    grams = jnp.stack(grams)  # (k, S, K, K)
-    g_total = jnp.sum(grams, axis=0)
+        grams = jnp.stack(grams)  # (k, S, K, K)
 
-    # per-fold constraint systems from train-set frame samples
-    rows_list, b_list = [], []
+    # per-fold constraint systems from train-set frame samples, one dispatch
     eye = np.eye(s_dim, dtype=np.float32)
-    for f, idx in enumerate(folds):
-        train_idx = np.concatenate(
-            [x for j, x in enumerate(folds) if j != f]
-        )
-        sample = rng.choice(train_idx, size=n_constraint_frames, replace=False)
-        cc = coords_dev[jnp.asarray(sample)]
-        cg = jnp.einsum("sj,tjd->tsd", cmap_mat, cc, precision="highest")
-        rows_list.append(
-            _constraint_rows(cc, cg, cmap_mat, gm, oh, ct, cen, spec)
-        )
-        b = np.broadcast_to(
-            eye[:, None, :], (s_dim, n_constraint_frames, s_dim)
-        ).reshape(s_dim, -1)
-        b_list.append(b)
-    rows = jnp.stack(rows_list)  # (k, S, m, K)
-    b_all = jnp.asarray(np.stack(b_list), dtype)  # (k, S, m)
+    samples = np.stack(
+        [
+            rng.choice(
+                np.concatenate([x for j, x in enumerate(folds) if j != f]),
+                size=n_constraint_frames,
+                replace=False,
+            )
+            for f in range(n_folds)
+        ]
+    )
 
+    def _one_rows(sample_f):
+        cc = coords_dev[sample_f]
+        cg = jnp.einsum("sj,tjd->tsd", cmap_mat, cc, precision="highest")
+        return _constraint_rows(cc, cg, cmap_mat, gm, oh, ct, cen, spec)
+
+    rows = jax.vmap(_one_rows)(jnp.asarray(samples))  # (k, S, m, K)
+    b = np.broadcast_to(
+        eye[:, None, :], (s_dim, n_constraint_frames, s_dim)
+    ).reshape(s_dim, -1)
+    b_all = jnp.asarray(
+        np.broadcast_to(b, (n_folds,) + b.shape).copy(), dtype
+    )  # (k, S, m)
+
+    # every (l2, fold, site) fit + score: one dispatch per memory block
     k_exp = grams.shape[-1]
-    qf_per_l2 = []
-    for l2 in l2_values:
-        p = (g_total[None] - grams) + l2 * jnp.eye(k_exp, dtype=dtype)
-        flat_p = p.reshape(n_folds * s_dim, k_exp, k_exp)
-        flat_a = rows.reshape(n_folds * s_dim, rows.shape[2], k_exp)
-        flat_b = b_all.reshape(n_folds * s_dim, -1, 1)
-        x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)[..., 0]
-        x = x.reshape(n_folds, s_dim, k_exp)
-        qf_per_l2.append(_fold_quad_scores(grams, x))
-    # one host sync for the whole grid (every solve above is async)
-    qf_all = np.asarray(jnp.stack(qf_per_l2))  # (n_l2, k)
+    block = _l2_blocks(len(l2_values), 4 * k_exp * k_exp, n_folds * s_dim)
+    qf_blocks = []
+    for i in range(0, len(l2_values), block):
+        l2_vec = jnp.asarray(list(l2_values[i : i + block]), dtype)
+        qf_blocks.append(
+            _featurized_solve_scores(grams, rows, b_all, l2_vec)
+        )
+    # one host sync for the whole grid (every call above is async)
+    qf_all = np.asarray(jnp.concatenate(qf_blocks, axis=0))  # (n_l2, k)
     denoms = np.array(
         [3 * len(idx) * s_dim for idx in folds], dtype=np.float64
     )
