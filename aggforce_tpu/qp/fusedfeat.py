@@ -660,6 +660,61 @@ def recognize_canonical_featurizer(featurizer) -> Optional[GBFeatSpec]:
     return curry_spec(featurizer, include_id=False)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_chunks", "solver_iters", "use_pallas", "mesh", "t_block"),
+)
+def _fit_coefs(
+    coords: jax.Array,
+    forces: jax.Array,
+    mask: jax.Array,
+    constr_coords: jax.Array,
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    solver_delta: jax.Array,
+    solver_iters: int,
+    use_pallas: bool,
+    mesh=None,
+    t_block: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused Gram/constraint assembly + batched KKT solve, one dispatch.
+
+    Keeping assembly and solve under one trace matters on remote-attached
+    devices where every executable launch carries transport latency; the
+    coefficient fetch is then the fit's only host round-trip. Returns
+    (coefs, gram, a_rows, b) — the QP pieces stay on device unless the
+    float64 fallback needs them.
+    """
+    if use_pallas and mesh is not None:
+        gram, a_rows, b = _pallas_mesh_fit_parts(
+            coords, forces, mask, constr_coords, cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec,
+            mesh=mesh, t_block=t_block,
+        )
+    elif use_pallas:
+        gram, a_rows, b = _pallas_fit_parts(
+            coords, forces, mask, constr_coords, cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec,
+        )
+    else:
+        gram, a_rows, b = _fused_fit_parts(
+            coords, forces, mask, constr_coords, cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec,
+            n_chunks, mesh=mesh,
+        )
+    coefs = batched_eqp_solve_auglag(
+        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters
+    )[..., 0]
+    return coefs, gram, a_rows, b
+
+
 def fused_gb_linear_map(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -759,10 +814,10 @@ def fused_gb_linear_map(
             os.environ.get("AGGFORCE_PALLAS", "1") == "1"
             and jax.devices()[0].platform == "tpu"
         )
+    t_blk = 256
     if use_pallas and mesh is not None:
         # mesh variant needs per-shard frame counts divisible by t_block
         n_dev = int(mesh.devices.size)
-        t_blk = 256
         t_now = coords_dev.shape[0]
         extra = (-t_now) % (n_dev * t_blk)
         if extra:
@@ -776,57 +831,31 @@ def fused_gb_linear_map(
             coords_dev = jax.device_put(coords_dev, sharding)
             forces_dev = jax.device_put(forces_dev, sharding)
             mask_dev = jax.device_put(mask_dev, sharding)
-        gram, a_rows, b = _pallas_mesh_fit_parts(
-            coords_dev,
-            forces_dev,
-            mask_dev,
-            constr_coords,
-            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-            jnp.asarray(group_mean, dtype=dtype),
-            jnp.asarray(onehot, dtype=dtype),
-            jnp.asarray(counts, dtype=dtype),
-            jnp.asarray(centers, dtype=dtype),
-            jnp.asarray(kbt, dtype=dtype),
-            jnp.asarray(l2_regularization, dtype=dtype),
-            spec,
-            mesh=mesh,
-            t_block=t_blk,
-        )
+        fit_mesh, fit_pallas = mesh, True
     elif use_pallas:
-        gram, a_rows, b = _pallas_fit_parts(
-            coords_dev,
-            forces_dev,
-            mask_dev,
-            constr_coords,
-            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-            jnp.asarray(group_mean, dtype=dtype),
-            jnp.asarray(onehot, dtype=dtype),
-            jnp.asarray(counts, dtype=dtype),
-            jnp.asarray(centers, dtype=dtype),
-            jnp.asarray(kbt, dtype=dtype),
-            jnp.asarray(l2_regularization, dtype=dtype),
-            spec,
-        )
+        fit_mesh, fit_pallas = None, True
     else:
-        gram, a_rows, b = _fused_fit_parts(
-            coords_dev,
-            forces_dev,
-            mask_dev,
-            constr_coords,
-            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-            jnp.asarray(group_mean, dtype=dtype),
-            jnp.asarray(onehot, dtype=dtype),
-            jnp.asarray(counts, dtype=dtype),
-            jnp.asarray(centers, dtype=dtype),
-            jnp.asarray(kbt, dtype=dtype),
-            jnp.asarray(l2_regularization, dtype=dtype),
-            spec,
-            n_chunks,
-            mesh=mesh,
-        )
-    coefs = batched_eqp_solve_auglag(
-        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters
-    )[..., 0]
+        fit_mesh, fit_pallas = mesh, False
+    coefs, gram, a_rows, b = _fit_coefs(
+        coords_dev,
+        forces_dev,
+        mask_dev,
+        constr_coords,
+        jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+        jnp.asarray(group_mean, dtype=dtype),
+        jnp.asarray(onehot, dtype=dtype),
+        jnp.asarray(counts, dtype=dtype),
+        jnp.asarray(centers, dtype=dtype),
+        jnp.asarray(kbt, dtype=dtype),
+        jnp.asarray(l2_regularization, dtype=dtype),
+        spec,
+        n_chunks,
+        jnp.asarray(solver_delta, dtype=dtype),
+        solver_iters,
+        fit_pallas,
+        mesh=fit_mesh,
+        t_block=t_blk,
+    )
     coefs_np = np.asarray(coefs)
     if not np.all(np.isfinite(coefs_np)):
         # f32 LU on ill-conditioned feature Grams can fail on some backends;
