@@ -42,3 +42,11 @@ def test_cv_feat_example():
     proc = _run("cv_feat.py", "--frames", "90", "--folds", "2")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "best grid point" in proc.stdout
+
+
+@pytest.mark.slow
+def test_sharded_example():
+    proc = _run("sharded.py", "--frames", "300", "--atoms", "30")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "sharded demo OK" in proc.stdout
+    assert "mesh: OrderedDict({'frames': 8})" in proc.stdout
