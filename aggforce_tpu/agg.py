@@ -202,6 +202,7 @@ def _fast_grid_cv(
     from .qp.featlinearmap import qp_feat_linear_map
     from .qp.fusedfeat import recognize_canonical_featurizer
 
+    mesh = kw.pop("mesh", None)
     use_linear = method is qp_linear_map and not kw
     spec = kbt = None
     n_cf = 20
@@ -214,6 +215,7 @@ def _fast_grid_cv(
         spec = recognize_canonical_featurizer(featurizer)
         if spec is None or kbt is None or kw:
             return None
+
     if isinstance(constrained, str):
         if constrained != PROJECT_FORCES_CNSTR_AUTO:
             return None
@@ -222,13 +224,13 @@ def _fast_grid_cv(
     if use_linear:
         raw = linear_map_cv(
             coords, forces, coord_map, constrained,
-            l2_values=l2_values, n_folds=n_folds, rng=rng,
+            l2_values=l2_values, n_folds=n_folds, rng=rng, mesh=mesh,
         )
     else:
         raw = fused_gb_cv(
             coords, forces, coord_map, constrained, kbt=kbt, spec=spec,
             l2_values=l2_values, n_folds=n_folds,
-            n_constraint_frames=n_cf, rng=rng,
+            n_constraint_frames=n_cf, rng=rng, mesh=mesh,
         )
 
     CVArgs = NamedTuple("CVArgs", [("l2_regularization", Any)])  # type: ignore[misc]

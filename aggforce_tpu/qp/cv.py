@@ -141,12 +141,16 @@ def linear_map_cv(
     l2_values: Sequence[float],
     n_folds: int = 5,
     rng: Optional[np.random.Generator] = None,
+    mesh=None,
 ) -> Dict[float, Tuple[Optional[float], Optional[float], int]]:
     """K-fold CV of the optimal linear map over an l2 grid, in one pass.
 
     Returns {l2: (mean holdout score, sample sd, n_folds)} with scores
     identical (to float precision) to refitting per fold and evaluating
-    ``force_smoothness`` on the mapped holdout forces.
+    ``force_smoothness`` on the mapped holdout forces. With ``mesh`` (1-D,
+    axis "frames") the per-fold frame axis is sharded and XLA's SPMD
+    partitioner distributes the Gram GEMMs (no explicit collectives needed
+    for this small kernel).
     """
     del coords  # constraints are supplied explicitly; coords unused
     con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
@@ -159,6 +163,11 @@ def linear_map_cv(
     )
     # per-fold heldout Grams: one total pass, one vmapped dispatch
     pad_len = max(len(f) for f in folds)
+    if mesh is not None:
+        # the sharded frame axis must divide evenly over the devices;
+        # masked pad frames contribute nothing to the Grams
+        n_dev = int(mesh.devices.size)
+        pad_len = -(-pad_len // n_dev) * n_dev
     sel_all = np.stack(
         [
             np.concatenate([idx, np.zeros(pad_len - len(idx), dtype=int)])
@@ -171,8 +180,19 @@ def linear_map_cv(
             for idx in folds
         ]
     )
+    fold_forces = forces_dev[jnp.asarray(sel_all)]
+    fold_masks = jnp.asarray(mask_all, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fold_forces = jax.device_put(
+            fold_forces, NamedSharding(mesh, P(None, "frames"))
+        )
+        fold_masks = jax.device_put(
+            fold_masks, NamedSharding(mesh, P(None, "frames"))
+        )
     grams = jax.vmap(_masked_design_gram, in_axes=(0, 0, None))(
-        forces_dev[jnp.asarray(sel_all)], jnp.asarray(mask_all, dtype), con_dev
+        fold_forces, fold_masks, con_dev
     )  # (k, R, R)
 
     a_mat = jnp.asarray(coord_map.standard_matrix, dtype) @ con_dev

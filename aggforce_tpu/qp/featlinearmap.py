@@ -200,6 +200,7 @@ def qp_feat_linear_map(
     l2_regularization: float = 1e1,
     constraint_rng: Optional[np.random.Generator] = None,
     allow_fused: bool = True,
+    mesh=None,
 ) -> CLAFTMap:
     """Optimize a force map linear in user-provided configuration features.
 
@@ -211,7 +212,10 @@ def qp_feat_linear_map(
     When the featurizer is recognized as the canonical id+gb combination and
     no explicit solver backend is requested, the fit is dispatched to the
     fully fused device path (same optimization, no feature materialization);
-    pass ``allow_fused=False`` to force the generic protocol path.
+    pass ``allow_fused=False`` to force the generic protocol path. ``mesh``
+    (a 1-D jax Mesh over axis "frames") shards the fused fit's frame axis
+    across devices; the generic protocol path is single-device and ignores
+    it.
     """
     if constraints is None:
         constraints = set()
@@ -231,6 +235,7 @@ def qp_feat_linear_map(
                 n_constraint_frames=n_constraint_frames,
                 l2_regularization=l2_regularization,
                 constraint_rng=constraint_rng,
+                mesh=mesh,
             )
 
     feat_results = featurizer(traj.coords, coord_map, constraints)

@@ -132,3 +132,50 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.asarray(out).shape == (4, 24)
+
+
+@needs_mesh
+def test_mesh_through_top_level_driver(waterdimer):
+    """project_forces and grid CV accept mesh= and route it to the fused path."""
+    from aggforce_tpu import project_forces
+    from aggforce_tpu.agg import SCORES_KNAME, TMAP_KNAME, project_forces_grid_cv
+    from aggforce_tpu.qp import Multifeaturize, gb_feat, id_feat, qp_feat_linear_map
+    from aggforce_tpu.utils import Curry
+
+    coords = waterdimer["coords"][:160]
+    forces = waterdimer["forces"][:160]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    featurizer = Multifeaturize([id_feat, Curry(gb_feat, outer=1.0, n_basis=3)])
+    res = project_forces(
+        coords=coords, forces=forces, coord_map=cmap, constrained_inds=set(),
+        method=qp_feat_linear_map, featurizer=featurizer, kbt=0.5,
+        constraint_rng=np.random.default_rng(0), mesh=make_mesh(axis_name="frames"),
+    )
+    from aggforce_tpu.qp.fusedfeat import FusedGBMap
+
+    assert isinstance(res[TMAP_KNAME].force_map, FusedGBMap)
+    assert np.all(np.isfinite(res["mapped_forces"]))
+
+    out = project_forces_grid_cv(
+        cv_arg_dict={"l2_regularization": [1e1, 1e3]},
+        coords=coords, forces=forces, n_folds=3, coord_map=cmap,
+        constrained_inds=set(), method=qp_feat_linear_map,
+        featurizer=featurizer, kbt=0.5, rng=np.random.default_rng(1),
+        mesh=make_mesh(axis_name="frames"),
+    )
+    assert all(np.isfinite(v) for v in out[SCORES_KNAME].values())
+
+    # linear grid CV with a mesh: GSPMD-partitioned fold Grams
+    out_lin = project_forces_grid_cv(
+        cv_arg_dict={"l2_regularization": [0.0, 1e2]},
+        coords=coords, forces=forces, n_folds=3, coord_map=cmap,
+        constrained_inds=set(), rng=np.random.default_rng(2),
+        mesh=make_mesh(axis_name="frames"),
+    )
+    ref = project_forces_grid_cv(
+        cv_arg_dict={"l2_regularization": [0.0, 1e2]},
+        coords=coords, forces=forces, n_folds=3, coord_map=cmap,
+        constrained_inds=set(), rng=np.random.default_rng(2),
+    )
+    for k, v in out_lin[SCORES_KNAME].items():
+        np.testing.assert_allclose(v, ref[SCORES_KNAME][k], rtol=2e-3)
