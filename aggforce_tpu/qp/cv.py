@@ -32,7 +32,6 @@ import numpy as np
 from ..constraints import Constraints
 from ..map import LinearMap
 from ..ops.eqp import batched_eqp_solve_auglag
-from ..trajectory import Trajectory
 from .qplinear import make_bond_constraint_matrix
 
 

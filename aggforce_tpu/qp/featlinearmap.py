@@ -42,7 +42,7 @@ from ..constraints import Constraints, reduce_constraint_sets
 from ..map import CLAFTMap, CLAMap, LinearMap
 from ..ops.eqp import eqp_solve_auglag, eqp_solve_host
 from ..trajectory import Trajectory
-from .qplinear import DEFAULT_SOLVER_OPTIONS, SolverOptions, _solver_opts
+from .qplinear import SolverOptions, _solver_opts
 
 KNAME_FEATS: Final = "feats"
 KNAME_DIVS: Final = "divs"

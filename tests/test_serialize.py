@@ -119,3 +119,35 @@ def test_closure_map_rejected(tmp_path):
     )
     with pytest.raises(ValueError):
         save_tmap(str(tmp_path / "x.npz"), CLAFTMap(LinearMap(np.eye(2)), clam))
+
+
+def test_mesh_fitted_fused_map_roundtrip(tmp_path, waterdimer):
+    """Maps fitted over a mesh serialize/deserialize like single-device ones."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual) mesh")
+    from aggforce_tpu.parallel import make_mesh
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:120]
+    forces = waterdimer["forces"][:120]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    tmap = fused_gb_linear_map(
+        Trajectory(coords=coords, forces=forces),
+        cmap,
+        kbt=0.7,
+        spec=GBFeatSpec(outer=1.5, n_basis=4),
+        constraints={frozenset({1, 2})},
+        l2_regularization=1.0,
+        constraint_rng=np.random.default_rng(0),
+        mesh=make_mesh(axis_name="frames"),
+    )
+    path = str(tmp_path / "mesh_fused.npz")
+    save_tmap(path, tmap)
+    loaded = load_tmap(path)
+    _, f0 = tmap.map_arrays(coords[:10], forces[:10])
+    _, f1 = loaded.map_arrays(coords[:10], forces[:10])
+    np.testing.assert_allclose(f1, f0, atol=1e-6)
