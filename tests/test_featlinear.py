@@ -252,3 +252,25 @@ def test_kbt_changes_divergence_term(small_system):
     ]
     outs = [m.map_arrays(coords[:20], forces[:20])[1] for m in maps]
     assert not np.allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_fused_fit_short_trajectory_clamps_constraint_frames(waterdimer):
+    """n_constraint_frames > n_frames must clamp, not raise (found by probe)."""
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:9]
+    forces = waterdimer["forces"][:9]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    tmap = fused_gb_linear_map(
+        Trajectory(coords=coords, forces=forces),
+        cmap,
+        kbt=0.7,
+        spec=GBFeatSpec(outer=1.5, n_basis=3),
+        constraints={frozenset({1, 2})},
+        l2_regularization=1.0,
+        n_constraint_frames=20,  # > 9 frames
+        constraint_rng=np.random.default_rng(0),
+    )
+    _, mf = tmap.map_arrays(coords, forces)
+    assert np.all(np.isfinite(mf))
