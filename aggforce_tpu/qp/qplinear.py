@@ -134,12 +134,15 @@ def qp_linear_map(
     constraints: Optional[Constraints] = None,
     l2_regularization: float = 0.0,
     solver_args: Optional[Union[SolverOptions, dict]] = None,
+    mesh=None,
 ) -> SeperableTMap:
     """Find the linear force map minimizing the mean squared mapped force.
 
     Arguments mirror the reference entry point; ``solver_args`` accepts (and
     ignores) reference OSQP options plus the native options documented on
-    :class:`SolverOptions`.
+    :class:`SolverOptions`. ``mesh`` (a 1-D jax Mesh over axis "frames")
+    shards the frame axis of the Gram reduction across devices; host/native
+    backends are single-process and ignore it.
     """
     if constraints is None:
         constraints = set()
@@ -151,7 +154,19 @@ def qp_linear_map(
     if backend == "auto":
         backend = "host" if forces.dtype == np.float64 else "device"
 
-    if backend == "native":
+    if backend == "device" and mesh is not None:
+        from ..parallel.mesh import sharded_linear_fit
+
+        fmap_mat = np.asarray(
+            sharded_linear_fit(
+                forces,
+                con_mat.astype(np.float32),
+                np.asarray(coord_map.standard_matrix, dtype=np.float32),
+                l2_regularization=l2_regularization,
+                mesh=mesh,
+            )
+        )
+    elif backend == "native":
         from ..native import eqp_solve_native
 
         design = qp_form(np.asarray(forces, dtype=np.float64)) @ con_mat

@@ -179,3 +179,25 @@ def test_mesh_through_top_level_driver(waterdimer):
     )
     for k, v in out_lin[SCORES_KNAME].items():
         np.testing.assert_allclose(v, ref[SCORES_KNAME][k], rtol=2e-3)
+
+
+@needs_mesh
+def test_qp_linear_map_mesh_matches_single_device(waterdimer):
+    from aggforce_tpu import project_forces
+    from aggforce_tpu.agg import TMAP_KNAME
+
+    coords = waterdimer["coords"][:200]
+    forces = waterdimer["forces"][:200]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    res_mesh = project_forces(
+        coords=coords, forces=forces, coord_map=cmap, constrained_inds=set(),
+        mesh=make_mesh(axis_name="frames"),
+    )
+    res_single = project_forces(
+        coords=coords, forces=forces, coord_map=cmap, constrained_inds=set(),
+    )
+    np.testing.assert_allclose(
+        res_mesh[TMAP_KNAME].force_map.standard_matrix,
+        res_single[TMAP_KNAME].force_map.standard_matrix,
+        atol=2e-4,
+    )
