@@ -231,11 +231,21 @@ class RATMap:
         self.tmap = tmap
 
     def __call__(self, t: AugmentedTrajectory) -> Trajectory:
-        """Map real block, concatenate preserved virtual block."""
+        """Map real block, concatenate preserved virtual block.
+
+        Device (jax) arrays concatenate on device so staged noised-map
+        pipelines stay resident.
+        """
+        import jax
+
         coords, forces = self.tmap.map_arrays(
             t.coords[:, t.real_slice, :], t.forces[:, t.real_slice, :]
         )
+        if isinstance(coords, jax.Array) or isinstance(t.coords, jax.Array):
+            import jax.numpy as xp
+        else:
+            xp = np
         return Trajectory(
-            coords=np.concatenate([coords, t.coords[:, t.aug_slice, :]], axis=1),
-            forces=np.concatenate([forces, t.forces[:, t.aug_slice, :]], axis=1),
+            coords=xp.concatenate([coords, t.coords[:, t.aug_slice, :]], axis=1),
+            forces=xp.concatenate([forces, t.forces[:, t.aug_slice, :]], axis=1),
         )

@@ -57,7 +57,7 @@ def _kkt(P: jax.Array, A: jax.Array, delta: jax.Array, regularized: bool):
     return jnp.concatenate([top, bot], axis=0)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "return_resid"))
 def eqp_solve_auglag(
     P: jax.Array,
     A: jax.Array,
@@ -66,7 +66,8 @@ def eqp_solve_auglag(
     delta: float = 1e-6,
     delta_fallback: float = 3e-4,
     iters: int = 10,
-) -> jax.Array:
+    return_resid: bool = False,
+):
     r"""Augmented-Lagrangian equality-QP solve (Cholesky only, multi-RHS).
 
     Iterates x = (P + rho A^T A + delta I)^{-1} A^T (y + rho b),
@@ -83,6 +84,12 @@ def eqp_solve_auglag(
     the normalized matrix, and only when that makes the small-delta Cholesky
     non-finite does the solve fall back to ``delta_fallback`` — so
     well-behaved problems keep full accuracy while noisy ones stay finite.
+
+    With ``return_resid=True`` also returns ``max |An x - Bn|`` over the
+    row-equilibrated constraint system — a scale-invariant convergence
+    diagnostic in the spirit of OSQP's ``eps_abs`` termination check
+    (reference qp/qplinear.py:21-27 polishes to eps_abs=1e-7); callers use
+    it to escalate finite-but-unconverged solves to the float64 oracle.
     """
     dtype = P.dtype
     n = P.shape[0]
@@ -117,6 +124,11 @@ def eqp_solve_auglag(
     x0 = jnp.zeros((n,) + B.shape[1:], dtype)
     y0 = jnp.zeros_like(Bn)
     x, _ = jax.lax.fori_loop(0, iters, body, (x0, y0))
+    if return_resid:
+        resid = jnp.max(
+            jnp.abs(Bn - jnp.matmul(An, x, precision="highest"))
+        )
+        return x, resid
     return x
 
 
@@ -200,7 +212,7 @@ def batched_eqp_solve(
     )(P, A, B)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "return_resid"))
 def batched_eqp_solve_auglag(
     P: jax.Array,
     A: jax.Array,
@@ -209,16 +221,28 @@ def batched_eqp_solve_auglag(
     delta: float = 1e-6,
     delta_fallback: float = 3e-4,
     iters: int = 10,
-) -> jax.Array:
+    return_resid: bool = False,
+):
     """Batched :func:`eqp_solve_auglag` over a leading axis (production
     device solver: Cholesky-only, fast to compile and run; per-problem
-    two-level regularization)."""
-    return jax.vmap(
+    two-level regularization).
+
+    With ``return_resid=True`` returns ``(X, resid)`` where ``resid`` is the
+    max equilibrated constraint violation across the whole batch — one
+    scalar, cheap to fetch alongside the solutions, used by callers as the
+    convergence check that triggers float64 escalation.
+    """
+    out = jax.vmap(
         lambda p, a, b: eqp_solve_auglag(
             p, a, b, rho=rho, delta=delta,
             delta_fallback=delta_fallback, iters=iters,
+            return_resid=return_resid,
         )
     )(P, A, B)
+    if return_resid:
+        x, resid = out
+        return x, jnp.max(resid)
+    return out
 
 
 def eqp_solve_host(

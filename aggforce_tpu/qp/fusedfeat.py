@@ -709,10 +709,11 @@ def _fit_coefs(
             onehot, counts, centers, kbt, l2_regularization, spec,
             n_chunks, mesh=mesh,
         )
-    coefs = batched_eqp_solve_auglag(
-        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters
-    )[..., 0]
-    return coefs, gram, a_rows, b
+    coefs, resid = batched_eqp_solve_auglag(
+        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters,
+        return_resid=True,
+    )
+    return coefs[..., 0], resid, gram, a_rows, b
 
 
 def fused_gb_linear_map(
@@ -726,7 +727,8 @@ def fused_gb_linear_map(
     chunk_size: int = 2048,
     constraint_rng: Optional[np.random.Generator] = None,
     solver_delta: float = 1e-6,
-    solver_iters: int = 10,
+    solver_iters: int = 40,
+    resid_tol: float = 1e-4,
     mesh=None,
     use_pallas: Union[bool, str] = "auto",
 ) -> CLAFTMap:
@@ -742,6 +744,14 @@ def fused_gb_linear_map(
     (:mod:`aggforce_tpu.ops.pallas_gram` — distances, basis, divergences and
     the MXU Gram fused in VMEM) instead of the XLA scan; "auto" enables it
     on single-device TPU runs.
+
+    Convergence is checked, not assumed: the device solver returns the max
+    equilibrated constraint violation ``max|Ax-b|`` with the coefficients
+    (one extra scalar in the same fetch), and any finite-but-unconverged
+    solve above ``resid_tol`` escalates to the float64 LAPACK oracle — the
+    analogue of the reference's OSQP eps_abs=1e-7 + polish guarantee. The
+    achieved residual is recorded in the returned map's tags
+    (``tags["solver_resid"]``).
     """
     if constraints is None:
         constraints = set()
@@ -836,7 +846,7 @@ def fused_gb_linear_map(
         fit_mesh, fit_pallas = None, True
     else:
         fit_mesh, fit_pallas = mesh, False
-    coefs, gram, a_rows, b = _fit_coefs(
+    coefs, solver_resid, gram, a_rows, b = _fit_coefs(
         coords_dev,
         forces_dev,
         mask_dev,
@@ -856,10 +866,15 @@ def fused_gb_linear_map(
         mesh=fit_mesh,
         t_block=t_blk,
     )
-    coefs_np = np.asarray(coefs)
-    if not np.all(np.isfinite(coefs_np)):
-        # f32 LU on ill-conditioned feature Grams can fail on some backends;
-        # retry each site's solve with the float64 LAPACK oracle.
+    coefs_np, resid_val = jax.device_get((coefs, solver_resid))
+    coefs_np = np.asarray(coefs_np)
+    resid_val = float(resid_val)
+    if not np.all(np.isfinite(coefs_np)) or resid_val > resid_tol:
+        # f32 solves on ill-conditioned feature Grams can fail outright
+        # (non-finite) or converge past tolerance while staying finite —
+        # OSQP's eps_abs=1e-7 + polish would catch both (reference
+        # qp/qplinear.py:21-27). Either way, escalate every site's solve to
+        # the float64 LAPACK oracle.
         from ..ops.eqp import eqp_solve_host
 
         gram_h = np.asarray(gram, dtype=np.float64)
@@ -871,6 +886,15 @@ def fused_gb_linear_map(
                 for s in range(gram_h.shape[0])
             ]
         ).astype(np.float32)
+        row_norm = np.linalg.norm(rows_h, axis=2, keepdims=True) + 1e-300
+        resid_val = float(
+            np.max(
+                np.abs(
+                    b_h / row_norm[..., 0]
+                    - np.einsum("smn,sn->sm", rows_h / row_norm, coefs_np)
+                )
+            )
+        )
     if not np.all(np.isfinite(coefs_np)):
         raise ValueError("Map optimization failed.")
     force_map = FusedGBMap(
@@ -880,6 +904,6 @@ def fused_gb_linear_map(
         centers=centers,
         kbt=kbt,
         spec=spec,
-        tags={"coef_list": list(coefs_np)},
+        tags={"coef_list": list(coefs_np), "solver_resid": resid_val},
     )
     return CLAFTMap(coord_map=coord_map, force_map=force_map)

@@ -217,9 +217,15 @@ def stagedjforcegauss_map(
     j_force_map = JLinearMap.from_linearmap(pre_tmap.force_map, bypass_nan_check=True)  # type: ignore[arg-type]
 
     augmenter = JCondNormal(cov=var, premap=j_coord_map.flat_call, seed=seed)
-    zeroforce_traj = Trajectory(
-        coords=traj.coords, forces=np.zeros_like(traj.forces)
-    )
+    import jax
+
+    if isinstance(traj.forces, jax.Array):
+        import jax.numpy as jnp
+
+        zero_forces = jnp.zeros_like(traj.forces)
+    else:
+        zero_forces = np.zeros_like(traj.forces)
+    zeroforce_traj = Trajectory(coords=traj.coords, forces=zero_forces)
     aug_traj = AugmentedTrajectory.from_trajectory(
         t=zeroforce_traj, augmenter=augmenter, kbt=kbt
     )

@@ -41,7 +41,9 @@ class SolverOptions(TypedDict, total=False):
     ``backend``: "device" (jitted f32 augmented-Lagrangian path), "host"
     (float64 LAPACK KKT), "native" (in-tree C++), or "auto". ``delta``:
     diagonal regularization after equilibration. ``refine_iters``: dual /
-    refinement iterations of the chosen solver. Unknown keys (e.g. the
+    refinement iterations of the chosen solver. ``resid_tol``: max
+    equilibrated constraint violation tolerated from the f32 device solve
+    before escalating to the float64 host oracle. Unknown keys (e.g. the
     reference's OSQP options such as "solver", "eps_abs", "max_iter",
     "polish") are accepted and ignored so reference call sites keep working.
     """
@@ -49,6 +51,7 @@ class SolverOptions(TypedDict, total=False):
     backend: str
     delta: float
     refine_iters: int
+    resid_tol: float
 
 
 DEFAULT_SOLVER_OPTIONS: SolverOptions = {
@@ -56,7 +59,7 @@ DEFAULT_SOLVER_OPTIONS: SolverOptions = {
     "refine_iters": 4,
 }
 
-_KNOWN_OPTION_KEYS = frozenset(("backend", "delta", "refine_iters"))
+_KNOWN_OPTION_KEYS = frozenset(("backend", "delta", "refine_iters", "resid_tol"))
 
 
 def _solver_opts(solver_args: Optional[dict]) -> SolverOptions:
@@ -105,8 +108,8 @@ def _device_linear_fit(
     )
     a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
     basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
-    x = eqp_solve_auglag(gram, a_mat, basis)
-    return jnp.matmul(con_mat, x, precision="highest").T
+    x, resid = eqp_solve_auglag(gram, a_mat, basis, return_resid=True)
+    return jnp.matmul(con_mat, x, precision="highest").T, resid
 
 
 def _host_linear_fit(
@@ -205,15 +208,28 @@ def qp_linear_map(
         pad = chunk * n_chunks - t
         if pad:
             forces_dev = jnp.pad(forces_dev, ((0, pad), (0, 0), (0, 0)))
-        fmap_mat = np.asarray(
-            _device_linear_fit(
-                forces_dev,
-                jnp.asarray(con_mat, dtype=dtype),
-                jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-                jnp.asarray(l2_regularization, dtype=dtype),
-                n_chunks=n_chunks,
-            )
+        fmap_dev, resid_dev = _device_linear_fit(
+            forces_dev,
+            jnp.asarray(con_mat, dtype=dtype),
+            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+            jnp.asarray(l2_regularization, dtype=dtype),
+            n_chunks=n_chunks,
         )
+        fmap_mat, resid_val = jax.device_get((fmap_dev, resid_dev))
+        fmap_mat = np.asarray(fmap_mat)
+        if not np.all(np.isfinite(fmap_mat)) or float(resid_val) > opts.get(
+            "resid_tol", 1e-4
+        ):
+            # convergence check failed (non-finite, or equilibrated
+            # constraint violation above tolerance — the analogue of OSQP's
+            # eps_abs termination + polish in the reference): escalate to
+            # the float64 LAPACK twin.
+            fmap_mat = _host_linear_fit(
+                np.asarray(forces),
+                con_mat.astype(np.float64),
+                coord_map.standard_matrix,
+                l2_regularization,
+            ).astype(np.asarray(fmap_mat).dtype)
     if isinstance(traj.forces, jax.Array):
         # device-resident input -> device-native maps, so downstream
         # application stays on device (jax in -> jax out) with no host

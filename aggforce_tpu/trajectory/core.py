@@ -21,6 +21,17 @@ from .augment import Augmenter
 A = TypeVar("A")
 
 
+def _array_namespace(*arrays):
+    """Return jax.numpy if any argument is a device (jax) array, else numpy."""
+    import jax
+
+    if any(isinstance(a, jax.Array) for a in arrays):
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
+
 class ForcesTrajectory:
     """Frames of per-site forces, without positions."""
 
@@ -162,11 +173,18 @@ class AugmentedTrajectory(Trajectory):
     def _augment(
         self, coords: np.ndarray, forces: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Draw virtual particles and build extended coords/forces arrays."""
+        """Draw virtual particles and build extended coords/forces arrays.
+
+        Type-preserving: device (jax) inputs concatenate on device, so the
+        noised-map pipelines never round-trip trajectory-sized arrays through
+        the host (the reference concatenates with numpy,
+        trajectory/core.py:353-390).
+        """
         aug_coords = self.augmenter.sample(coords)
         real_corr, aug_lgrad = self.augmenter.log_gradient(coords, aug_coords)
-        full_coords = np.concatenate([coords, aug_coords], axis=1)
-        full_forces = np.concatenate(
+        xp = _array_namespace(coords, aug_coords)
+        full_coords = xp.concatenate([coords, aug_coords], axis=1)
+        full_forces = xp.concatenate(
             [forces + self.kbt * real_corr, self.kbt * aug_lgrad], axis=1
         )
         return full_coords, full_forces

@@ -138,7 +138,12 @@ class JCondNormal(Augmenter):
     (typically a JLinearMap.flat_call); its output dimension fixes the number
     of virtual particles. ``source_postmap`` is applied to the unflattened
     source log-gradient — used by staged maps to express already-coarse-grained
-    force corrections. Public methods take and return numpy arrays.
+    force corrections.
+
+    Public methods are type-preserving: numpy in → numpy out (reference
+    behavior), jax in → jax out. The latter keeps whole noised-map pipelines
+    device-resident — trajectory-sized arrays never cross the host boundary
+    between sampling, log-gradient evaluation, and the downstream fit.
     """
 
     n_dim: Final = 3
@@ -182,7 +187,13 @@ class JCondNormal(Augmenter):
         return not (isinstance(self._cov, (np.ndarray, jax.Array)) and np.ndim(self._cov) == 2)
 
     def sample(self, source: np.ndarray) -> np.ndarray:
-        """Draw one set of virtual coordinates conditioned on ``source``."""
+        """Draw one set of virtual coordinates conditioned on ``source``.
+
+        Type-preserving: jax input stays on device; numpy input returns numpy
+        (reference trajectory/jaxgausstraj.py:286-329 always returned host
+        arrays — a per-call trajectory-sized transfer this path avoids).
+        """
+        device_in = isinstance(source, jax.Array)
         flat = self._flatten(jnp.asarray(source, dtype=self.dtype))
         self._rkey, subkey = jrandom.split(self._rkey)
         if self._scalar_cov:
@@ -203,12 +214,18 @@ class JCondNormal(Augmenter):
             chol = self._cholesky()
             eps = jrandom.normal(subkey, means.shape, dtype=means.dtype)
             out = means + eps @ chol.T
-        return np.asarray(self._unflatten(out), dtype=self.dtype)
+        unflat = self._unflatten(out)
+        if device_in:
+            return unflat.astype(self.dtype)
+        return np.asarray(unflat, dtype=self.dtype)
 
     def log_gradient(
         self, source: np.ndarray, generated: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (grad_x log g, grad_y log g) as numpy arrays."""
+        """Return (grad_x log g, grad_y log g); type-preserving like sample."""
+        device_in = isinstance(source, jax.Array) or isinstance(
+            generated, jax.Array
+        )
         flat_source = self._flatten(jnp.asarray(source, dtype=self.dtype))
         flat_generated = self._flatten(jnp.asarray(generated, dtype=self.dtype))
         if self.cov is None and self._scalar_cov:
@@ -230,6 +247,11 @@ class JCondNormal(Augmenter):
         source_lgrad = self._unflatten(src_grad)
         variate_lgrad = self._unflatten(gen_grad)
         post = self.source_postmap(source_lgrad)
+        if device_in:
+            return (
+                jnp.asarray(post, dtype=self.dtype),
+                variate_lgrad.astype(self.dtype),
+            )
         return (
             np.asarray(post, dtype=self.dtype),
             np.asarray(variate_lgrad, dtype=self.dtype),

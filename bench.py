@@ -3,16 +3,21 @@
 Default mode (config #3 of BASELINE.md): CLN025-scale system (175 atoms),
 10k frames, id_feat + 7-basis gb_feat featurization, l2_regularization=1e3 —
 fit end to end on the available accelerator via the fused device-resident
-path.
+path. The JSON line carries extra diagnostic fields: ``first_fit_s`` (fresh
+process end-to-end incl. compile/cache-load — the <10 s north-star),
+``mfu`` and ``tflops`` (useful-work Gram FLOPs over the steady fit time vs
+the chip's bf16 MXU peak).
 
-``BENCH_MODE=sweep`` runs config #5 instead: the large solvated-protein
-sweep (thousands of atoms, ``BENCH_FRAMES`` frames, default 100k) through
-the constrained linear-map fit with auto constraint detection — the whole
-pipeline streamed on device.
+``BENCH_MODE`` selects the other BASELINE configs:
+  static   config #1 — CLN025 static optimal linear map (uni + optimized)
+  gauss    config #2 — Gaussian noised maps (joptgauss + staged), device-resident
+  cv       config #4 — featurized grid CV (folds x l2 in single dispatches)
+  sweep    config #5 — 100k-frame, thousands-of-atoms linear-map sweep
+  all      every config in sequence (one JSON line each; featurized last)
 
-Prints ONE JSON line:
-  metric       featurized QP fit throughput
-  value        frames/sec/chip (fit wall-clock, steady-state, incl. H2D)
+Each mode prints ONE JSON line:
+  metric       config-specific throughput
+  value        frames/sec/chip (fit wall-clock, steady-state)
   vs_baseline  value / 125 — the north-star target is the 10k-frame fit in
                <10 s on a v5e-8 slice, i.e. 125 frames/sec/chip; >1 beats it.
 
@@ -35,18 +40,23 @@ def _enable_compile_cache() -> None:
     """Persist compiled executables across bench processes when supported.
 
     First-call compile latency through the remote-compile service is highly
-    variable (observed 24-260 s for the same program); a local disk cache
-    makes repeat runs deterministic-fast where the backend supports
-    serialization.
+    variable (observed 24-260 s for the same program), and even trivial ops
+    (pad/add/select) cost ~0.4 s each through the compile RPC — a fit path
+    touching ~20 of them pays ~8 s before the big programs even start. The
+    cache ships *inside the repo* (`.jax_cache/`, committed) so a fresh
+    checkout/process starts warm, and the persistence threshold is 0 so the
+    tiny ops are cached too.
     """
     import jax
 
     cache_dir = os.environ.get(
-        "AGGFORCE_COMPILE_CACHE", "/tmp/aggforce_jax_cache"
+        "AGGFORCE_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception as e:  # cache is best-effort
         log(f"compilation cache unavailable: {e}")
 
@@ -143,16 +153,171 @@ def run_sweep() -> None:
     )
 
 
-def main() -> None:
-    _enable_compile_cache()
-    if os.environ.get("BENCH_MODE", "").lower() == "sweep":
-        run_sweep()
-        return
+def _staged_device_traj(fix):
+    """Stage the fixture into HBM once; return the device Trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from aggforce_tpu.trajectory import Trajectory
+
+    t0 = time.perf_counter()
+    traj = Trajectory(
+        coords=jnp.asarray(fix["coords"]), forces=jnp.asarray(fix["forces"])
+    )
+    jax.block_until_ready((traj.coords, traj.forces))
+    log(f"device staging (H2D): {time.perf_counter() - t0:.3f}s")
+    return traj
+
+
+def _emit(metric: str, value: float, extra=None) -> None:
+    out = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(value / 125.0, 3),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+
+
+def run_static() -> None:
+    """Config #1: CLN025 static optimal linear map (constrained LS)."""
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
+    from aggforce_tpu.qp import constraint_aware_uni_map, qp_linear_map
+
+    fix, cmap = build_fixture(n_frames)
+    constraints = set(fix["constraint_groups"])
+    traj = _staged_device_traj(fix)
+
+    # basic (uniform aggregation) map: host-side construction, trivial
+    t0 = time.perf_counter()
+    constraint_aware_uni_map(traj=traj, coord_map=cmap, constraints=constraints)
+    log(f"constraint_aware_uni_map: {time.perf_counter() - t0:.3f}s")
+
+    def fit():
+        return qp_linear_map(traj, cmap, constraints=constraints)
+
+    t0 = time.perf_counter()
+    tmap = fit()
+    log(f"first fit (incl. compile): {time.perf_counter() - t0:.3f}s")
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tmap = fit()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    log(f"steady-state fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
+    mc, mf = tmap.map_arrays(traj.coords[:64], traj.forces[:64])
+    assert np.all(np.isfinite(np.asarray(mf)))
+    _emit("static_linear_qp_fit_frames_per_sec_per_chip", n_frames / elapsed)
+
+
+def run_gauss() -> None:
+    """Config #2: Gaussian noised maps, fully device-resident pipeline."""
     n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
     import jax
 
+    from aggforce_tpu.qp.jgauss import joptgauss_map, stagedjoptgauss_map
+
+    fix, cmap = build_fixture(n_frames)
+    constraints = set(fix["constraint_groups"])
+    kbt = float(fix["kbt"])
+    traj = _staged_device_traj(fix)
+
+    def fit(seed):
+        return joptgauss_map(
+            traj, cmap, var=0.002, kbt=kbt, constraints=constraints, seed=seed
+        )
+
+    t0 = time.perf_counter()
+    tmap = fit(7)
+    log(f"first joptgauss fit (incl. compile): {time.perf_counter() - t0:.3f}s")
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        tmap = fit(100 + i)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    log(f"joptgauss fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
+
+    # apply (re-noise + map) on the full device trajectory
+    t0 = time.perf_counter()
+    out = tmap(traj)
+    jax.block_until_ready((out.coords, out.forces))
+    t_apply0 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = tmap(traj)
+    jax.block_until_ready((out.coords, out.forces))
+    t_apply = time.perf_counter() - t0
+    assert isinstance(out.forces, jax.Array), "apply left the device"
+    log(f"joptgauss apply: {t_apply:.3f}s (first {t_apply0:.3f}s)")
+
+    t0 = time.perf_counter()
+    stagedjoptgauss_map(traj, cmap, var=0.002, kbt=kbt, constraints=constraints, seed=7)
+    t_staged0 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    stagedjoptgauss_map(traj, cmap, var=0.002, kbt=kbt, constraints=constraints, seed=8)
+    t_staged = time.perf_counter() - t0
+    log(f"stagedjoptgauss fit: {t_staged:.3f}s (first {t_staged0:.3f}s)")
+
+    _emit(
+        "gauss_noised_map_fit_frames_per_sec_per_chip",
+        n_frames / elapsed,
+        extra={
+            "apply_frames_per_sec": round(n_frames / t_apply, 2),
+            "staged_fit_frames_per_sec": round(n_frames / t_staged, 2),
+        },
+    )
+
+
+def run_cv() -> None:
+    """Config #4: featurized grid CV (5 folds x 6 l2) in batched dispatches."""
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
+    from aggforce_tpu.qp.cv import fused_gb_cv
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec
+
+    fix, cmap = build_fixture(n_frames)
+    constraints = set(fix["constraint_groups"])
+    kbt = float(fix["kbt"])
+    spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=7, width=1.0)
+    traj = _staged_device_traj(fix)
+    l2_values = [1e0, 1e1, 1e2, 1e3, 1e4, 1e5]
+
+    def cv(seed):
+        return fused_gb_cv(
+            traj.coords, traj.forces, cmap, constraints, kbt, spec,
+            l2_values=l2_values, n_folds=5,
+            rng=np.random.default_rng(seed),
+        )
+
+    t0 = time.perf_counter()
+    table = cv(7)
+    log(f"first CV (incl. compile): {time.perf_counter() - t0:.3f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        table = cv(100 + i)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    best = min(table.items(), key=lambda kv: kv[1][0])
+    log(f"CV grid (5 folds x {len(l2_values)} l2): {elapsed:.3f}s "
+        f"(runs: {[f'{t:.3f}' for t in times]}); best l2={best[0]:g} "
+        f"score={best[1][0]:.4f}")
+    _emit(
+        "cv_featurized_grid_frames_per_sec_per_chip",
+        n_frames / elapsed,
+        extra={"grid_points": 5 * len(l2_values)},
+    )
+
+
+def run_featurized() -> None:
+    """Config #3 (default): fused featurized fit + MFU accounting."""
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
+    import jax
+
+    from aggforce_tpu.qp.featlinearmap import id_feat
     from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
-    from aggforce_tpu.trajectory import Trajectory
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
@@ -165,16 +330,7 @@ def main() -> None:
         f"fixture: {fix['coords'].shape} frames x sites, "
         f"{cmap.n_cg_sites} cg sites, {len(constraints)} constraint groups"
     )
-    # stage the trajectory into HBM once (one-time data-loading cost,
-    # reported separately); fits then run fully device-resident
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
-    traj = Trajectory(
-        coords=jnp.asarray(fix["coords"]), forces=jnp.asarray(fix["forces"])
-    )
-    jax.block_until_ready((traj.coords, traj.forces))
-    log(f"device staging (H2D): {time.perf_counter() - t0:.3f}s")
+    traj = _staged_device_traj(fix)
 
     def fit(seed: int):
         return fused_gb_linear_map(
@@ -190,8 +346,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     tmap = fit(7)
-    t_compile = time.perf_counter() - t0
-    log(f"first fit (incl. compile): {t_compile:.3f}s")
+    t_first = time.perf_counter() - t0
+    log(f"first fit (incl. compile): {t_first:.3f}s")
 
     # 5 timed runs, min: per-fit wall clock includes one host round-trip,
     # whose latency through the remote-device tunnel varies run to run
@@ -206,17 +362,51 @@ def main() -> None:
     # sanity: mapped forces finite, orthogonality approximately satisfied
     sub = slice(0, 256)
     mc, mf = tmap.map_arrays(traj.coords[sub], traj.forces[sub])
-    assert np.all(np.isfinite(mf)), "non-finite mapped forces"
-    log(f"mapped force residual (subset): {float(np.mean(mf**2)):.4f}")
+    assert np.all(np.isfinite(np.asarray(mf))), "non-finite mapped forces"
+    log(f"mapped force residual (subset): {float(np.mean(np.asarray(mf)**2)):.4f}")
+    log(f"solver constraint residual: {tmap.force_map.tags['solver_resid']:.2e}")
 
-    value = n_frames / elapsed
-    out = {
-        "metric": "featurized_qp_fit_frames_per_sec_per_chip",
-        "value": round(value, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(value / 125.0, 3),
+    # MFU accounting (useful work): the Gram stage is S sites x 3 components
+    # x one (T, K_exp)^T (T, K_exp) MXU GEMM -> 2*T*K_exp^2 FLOPs each.
+    ids = id_feat(fix["coords"][:1], cmap, constraints, return_ids=True)
+    n_groups = int(ids.max()) + 1
+    k_exp = n_groups * (1 + spec.n_basis)
+    flops_useful = cmap.n_cg_sites * 3 * 2 * n_frames * k_exp * k_exp
+    peak = 197e12  # v5e bf16 MXU peak
+    tflops = flops_useful / elapsed / 1e12
+    mfu = flops_useful / elapsed / peak
+    log(f"useful Gram FLOPs {flops_useful/1e9:.1f} GF -> {tflops:.1f} TF/s, "
+        f"MFU {100*mfu:.1f}% of bf16 peak")
+
+    _emit(
+        "featurized_qp_fit_frames_per_sec_per_chip",
+        n_frames / elapsed,
+        extra={
+            "first_fit_s": round(t_first, 3),
+            "tflops": round(tflops, 2),
+            "mfu": round(mfu, 4),
+            "solver_resid": float(tmap.force_map.tags["solver_resid"]),
+        },
+    )
+
+
+def main() -> None:
+    _enable_compile_cache()
+    mode = os.environ.get("BENCH_MODE", "").lower()
+    runners = {
+        "": run_featurized,
+        "feat": run_featurized,
+        "featurized": run_featurized,
+        "static": run_static,
+        "gauss": run_gauss,
+        "cv": run_cv,
+        "sweep": run_sweep,
     }
-    print(json.dumps(out))
+    if mode == "all":
+        for fn in (run_static, run_gauss, run_cv, run_sweep, run_featurized):
+            fn()
+        return
+    runners[mode]()
 
 
 if __name__ == "__main__":

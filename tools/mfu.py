@@ -1,0 +1,108 @@
+"""MFU / roofline probe for the fused featurized fit's hot stages.
+
+Times the Pallas Gram kernel (and the XLA scan twin) in isolation on the
+live device, accounts FLOPs and HBM bytes, and reports achieved TFLOP/s and
+MFU against the chip's matmul peak.
+
+Usage: python tools/mfu.py [frames] [t_block]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from aggforce_tpu import LinearMap  # noqa: E402
+from aggforce_tpu.qp.featlinearmap import id_feat  # noqa: E402
+from aggforce_tpu.qp.fusedfeat import GBFeatSpec, _basis_centers  # noqa: E402
+from aggforce_tpu.ops import pallas_gram as pg  # noqa: E402
+from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms  # noqa: E402
+from aggforce_tpu.utils.synth import synthesize_protein_fixture  # noqa: E402
+
+# v5e (TPU v5 lite): 197 TFLOP/s bf16 MXU peak, ~819 GB/s HBM.
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBS = 819.0
+
+PDB = "/root/reference/tests/data/cln025.pdb"
+frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+t_block = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+fix = synthesize_protein_fixture(PDB, n_frames=frames, seed=2024)
+cmap = LinearMap(ca_map_from_pdb(PDB), n_fg_sites=n_atoms(PDB))
+constraints = set(fix["constraint_groups"])
+spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=7, width=1.0)
+
+ids = id_feat(fix["coords"], cmap, constraints, return_ids=True)
+G = int(ids.max()) + 1
+onehot = np.zeros((cmap.n_fg_sites, G), np.float32)
+onehot[np.arange(cmap.n_fg_sites), ids] = 1.0
+counts = onehot.sum(0)
+group_mean = (onehot / np.maximum(counts, 1)).T.astype(np.float32)
+centers = _basis_centers(spec).astype(np.float32)
+
+S = cmap.n_cg_sites
+K = spec.n_basis
+k_exp = G + G * K
+
+t_pad = -(-frames // t_block) * t_block
+coords = np.concatenate(
+    [fix["coords"], np.zeros((t_pad - frames, cmap.n_fg_sites, 3), np.float32)]
+).astype(np.float32)
+forces = np.concatenate(
+    [fix["forces"], np.zeros((t_pad - frames, cmap.n_fg_sites, 3), np.float32)]
+).astype(np.float32)
+mask = np.concatenate([np.ones(frames), np.zeros(t_pad - frames)]).astype(
+    np.float32
+)
+
+gpos, cg, fg, centers_flat, kbt_counts_flat = jax.jit(pg.pack_operands, static_argnames=("n_basis",))(
+    jnp.asarray(coords), jnp.asarray(forces), jnp.asarray(mask),
+    jnp.asarray(cmap.standard_matrix, jnp.float32), jnp.asarray(group_mean),
+    jnp.asarray(onehot), jnp.asarray(counts, jnp.float32),
+    jnp.asarray(float(fix["kbt"]), jnp.float32), K, jnp.asarray(centers),
+)
+jax.block_until_ready((gpos, cg, fg))
+g_pad = gpos.shape[-1]
+k_pad = g_pad * (1 + K)
+clip = float(np.exp(-((spec.outer / spec.width) ** 2) / 4.0))
+
+print(f"T={frames} (pad {t_pad}) S={S} G={G} (pad {g_pad}) "
+      f"K_exp={k_exp} (pad {k_pad}) t_block={t_block}")
+
+
+def timed(name, fn, n=5):
+    out = fn()
+    jax.block_until_ready(out)
+    float(jnp.sum(out))  # force through the tunnel
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def report(name, secs):
+    # executed matmul FLOPs: per site, 3 components, 2*T*K_pad^2 each
+    flops_exec = S * 3 * 2 * t_pad * k_pad * k_pad
+    flops_useful = S * 3 * 2 * frames * k_exp * k_exp
+    # HBM traffic: per site the kernel re-reads gpos+fg (3*T*G_pad f32 each)
+    # and cg (3*T); one Gram write per site
+    bytes_rw = 4 * (S * (2 * 3 * t_pad * g_pad + 3 * t_pad) + S * k_pad * k_pad)
+    tf_exec = flops_exec / secs / 1e12
+    tf_useful = flops_useful / secs / 1e12
+    gbs = bytes_rw / secs / 1e9
+    print(f"{name:<24s} {secs*1e3:8.2f} ms  exec {tf_exec:6.1f} TF/s "
+          f"(MFU {100*tf_exec/PEAK_BF16_TFLOPS:4.1f}%)  useful {tf_useful:6.1f} TF/s "
+          f"(MFU {100*tf_useful/PEAK_BF16_TFLOPS:4.1f}%)  HBM {gbs:6.1f} GB/s "
+          f"({100*gbs/PEAK_HBM_GBS:4.1f}%)")
+
+
+best, gram = timed("pallas", lambda: pg.pallas_site_grams(
+    gpos, cg, fg, jnp.asarray(mask), centers_flat, kbt_counts_flat,
+    K, spec.width, clip, t_block=t_block))
+report(f"pallas t_block={t_block}", best)
