@@ -186,8 +186,16 @@ def _fast_grid_cv(
     rng: Optional[np.random.Generator],
     kwargs: Dict[str, Any],
 ) -> Optional[Dict[str, Dict[NamedTuple, Any]]]:
-    """Dispatch to a single-pass CV implementation when one applies."""
-    if set(cv_arg_dict.keys()) != {"l2_regularization"}:
+    """Dispatch to a single-pass CV implementation when one applies.
+
+    Covered grids: {l2_regularization} for the linear and canonical
+    featurized methods, and {featurizer[, l2_regularization]} for the
+    canonical featurized method (the reference's cv_feat.py use case —
+    every featurizer in the grid must recognize as a canonical id+gb
+    featurization).
+    """
+    keys = set(cv_arg_dict.keys())
+    if not keys or not keys <= {"l2_regularization", "featurizer"}:
         return None
     kw = dict(kwargs)
     method = kw.pop("method", qp_linear_map)
@@ -195,25 +203,33 @@ def _fast_grid_cv(
     if coord_map is None:
         return None
     constrained = kw.pop("constrained_inds", PROJECT_FORCES_CNSTR_AUTO)
-    l2_values = list(cv_arg_dict["l2_regularization"])
 
     # decide whether a fast path applies BEFORE doing any expensive work
-    from .qp.cv import fused_gb_cv, linear_map_cv
+    from .qp.cv import fused_gb_cv_grid, linear_map_cv
     from .qp.featlinearmap import qp_feat_linear_map
     from .qp.fusedfeat import recognize_canonical_featurizer
 
     mesh = kw.pop("mesh", None)
-    use_linear = method is qp_linear_map and not kw
-    spec = kbt = None
+    grid_feats = list(cv_arg_dict.get("featurizer", []))
+    if "l2_regularization" in keys:
+        l2_values = list(cv_arg_dict["l2_regularization"])
+    else:
+        l2_values = [kw.pop("l2_regularization", 1e1)]
+    use_linear = (
+        method is qp_linear_map and not kw and not grid_feats
+    )
+    specs = None
+    kbt = None
     n_cf = 20
     if not use_linear:
         if method is not qp_feat_linear_map:
             return None
-        featurizer = kw.pop("featurizer", None)
         kbt = kw.pop("kbt", None)
         n_cf = kw.pop("n_constraint_frames", 20)
-        spec = recognize_canonical_featurizer(featurizer)
-        if spec is None or kbt is None or kw:
+        featurizers = grid_feats or [kw.pop("featurizer", None)]
+        kw.pop("featurizer", None)
+        specs = [recognize_canonical_featurizer(f) for f in featurizers]
+        if any(s is None for s in specs) or kbt is None or kw:
             return None
 
     if isinstance(constrained, str):
@@ -221,30 +237,47 @@ def _fast_grid_cv(
             return None
         constrained = guess_pairwise_constraints(coords)
 
-    if use_linear:
-        raw = linear_map_cv(
-            coords, forces, coord_map, constrained,
-            l2_values=l2_values, n_folds=n_folds, rng=rng, mesh=mesh,
-        )
-    else:
-        raw = fused_gb_cv(
-            coords, forces, coord_map, constrained, kbt=kbt, spec=spec,
-            l2_values=l2_values, n_folds=n_folds,
-            n_constraint_frames=n_cf, rng=rng, mesh=mesh,
-        )
-
-    CVArgs = NamedTuple("CVArgs", [("l2_regularization", Any)])  # type: ignore[misc]
     results: Dict[str, Dict[Any, Any]] = {
         SCORES_KNAME: {},
         SDS_KNAME: {},
         NRUNS_KNAME: {},
     }
-    for l2 in l2_values:
-        mean_score, sd, n = raw[float(l2)]
-        label = CVArgs(l2_regularization=l2)
-        results[SCORES_KNAME][label] = mean_score
-        results[SDS_KNAME][label] = sd
-        results[NRUNS_KNAME][label] = n
+    if use_linear:
+        raw = linear_map_cv(
+            coords, forces, coord_map, constrained,
+            l2_values=l2_values, n_folds=n_folds, rng=rng, mesh=mesh,
+        )
+        CVArgs = NamedTuple("CVArgs", [("l2_regularization", Any)])  # type: ignore[misc]
+        for l2 in l2_values:
+            mean_score, sd, n = raw[float(l2)]
+            label = CVArgs(l2_regularization=l2)
+            results[SCORES_KNAME][label] = mean_score
+            results[SDS_KNAME][label] = sd
+            results[NRUNS_KNAME][label] = n
+        return results
+
+    raw_grid = fused_gb_cv_grid(
+        coords, forces, coord_map, constrained, kbt=kbt, specs=specs,
+        l2_values=l2_values, n_folds=n_folds,
+        n_constraint_frames=n_cf, rng=rng, mesh=mesh,
+    )
+    # labels mirror the generic driver: one namedtuple field per grid key,
+    # holding the ORIGINAL grid values (featurizer objects, not specs)
+    names = [n for n in ("featurizer", "l2_regularization") if n in keys]
+    CVArgs = NamedTuple("CVArgs", [(n, Any) for n in names])  # type: ignore[misc]
+    feat_indices = range(len(grid_feats)) if grid_feats else [0]
+    for fi in feat_indices:
+        for l2 in l2_values:
+            mean_score, sd, n = raw_grid[(fi, float(l2))]
+            fields = {}
+            if "featurizer" in keys:
+                fields["featurizer"] = grid_feats[fi]
+            if "l2_regularization" in keys:
+                fields["l2_regularization"] = l2
+            label = CVArgs(**fields)
+            results[SCORES_KNAME][label] = mean_score
+            results[SDS_KNAME][label] = sd
+            results[NRUNS_KNAME][label] = n
     return results
 
 

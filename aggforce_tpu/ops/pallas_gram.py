@@ -114,13 +114,22 @@ def pallas_site_grams(
     n_basis: int,
     width: float,
     clip: float,
-    t_block: int = 256,
+    t_block: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """All-site featurized Grams: returns (S, K_pad, K_pad).
 
-    Shapes must satisfy: T % t_block == 0, G_pad % 128 == 0 (so the padded
-    feature dimension K_pad = G_pad * (1 + n_basis) is lane-aligned).
+    Shapes must satisfy: T % t_block == 0 and G_pad % 16 == 0 (zero-padded
+    group columns vanish; a multiple of 16 keeps the expanded feature
+    dimension K_pad = G_pad * (1 + n_basis) lane-aligned for n_basis=7
+    while avoiding the ~1.7x FLOP waste of padding G all the way to 128).
+
+    ``t_block`` is a pure performance knob: measured on v5e (amortized
+    device time, tunnel latency excluded), t_block=256 leaves the MXU
+    pipeline stalled at ~10 TF/s while t_block=1024 reaches ~95 TF/s
+    executed (~48% of the bf16 MXU peak) on the CLN025-scale fit — deeper
+    frame blocks amortize the per-step window swaps and keep the systolic
+    array fed.
     """
     _, t, g_pad = gpos.shape
     s_dim = cg.shape[0]
@@ -250,11 +259,11 @@ def pack_operands(
 
     Returns (gpos, cg, fg_masked, centers_flat, kbt_counts_flat) in
     component-major layout — (3, T, G_pad) / (3, S, T) — with the group axis
-    zero-padded to a multiple of 128 (padded columns vanish because both fg
-    and counts are zero there).
+    zero-padded to a multiple of 16 (padded columns vanish because both fg
+    and counts are zero there; see :func:`pallas_site_grams` for why 16).
     """
     g = group_mean.shape[0]
-    g_pad = -(-g // 128) * 128
+    g_pad = max(16, -(-g // 16) * 16)
     pad = g_pad - g
     gpos = jnp.einsum("gj,tjd->dtg", group_mean, coords, precision="highest")
     cg = jnp.einsum("sj,tjd->sdt", cmap_mat, coords, precision="highest")

@@ -365,3 +365,57 @@ def fused_gb_cv(
         [3 * len(idx) * s_dim for idx in folds], dtype=np.float64
     )
     return _score_table(l2_values, qf_all, denoms)
+
+
+def fused_gb_cv_grid(
+    coords: np.ndarray,
+    forces: np.ndarray,
+    coord_map: LinearMap,
+    constraints: Constraints,
+    kbt: float,
+    specs: Sequence,
+    l2_values: Sequence[float],
+    n_folds: int = 5,
+    n_constraint_frames: int = 20,
+    rng: Optional[np.random.Generator] = None,
+    mesh=None,
+) -> Dict[Tuple[int, float], Tuple[Optional[float], Optional[float], int]]:
+    """K-fold CV over a (featurizer spec x l2) grid, one Gram pass per spec.
+
+    The reference's canonical CV sweeps featurizer hyperparameters AND l2
+    (reference examples/cv_feat.py:178): its driver refits from scratch for
+    every (spec, l2, fold) triple. Different specs genuinely need their own
+    featurized Grams (the features differ), so the irreducible work is one
+    trajectory pass per spec; everything else — the (fold x l2) fits and
+    holdout scores per spec — reuses those Grams algebraically exactly as
+    :func:`fused_gb_cv` does. Folds and constraint-frame samples are shared
+    across specs so scores are comparable.
+
+    Returns {(spec_index, l2): (mean score, sample sd, n_folds)}.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    # replay the caller's generator state for every spec: folds and
+    # constraint samples are then identical across specs AND identical to
+    # what the generic refit driver would draw from the same rng
+    state = rng.bit_generator.state
+    out: Dict[Tuple[int, float], Tuple[Optional[float], Optional[float], int]] = {}
+    for i, spec in enumerate(specs):
+        replay = np.random.default_rng()
+        replay.bit_generator.state = state
+        table = fused_gb_cv(
+            coords,
+            forces,
+            coord_map,
+            constraints,
+            kbt=kbt,
+            spec=spec,
+            l2_values=l2_values,
+            n_folds=n_folds,
+            n_constraint_frames=n_constraint_frames,
+            rng=replay,
+            mesh=mesh,
+        )
+        for l2, stats in table.items():
+            out[(i, float(l2))] = stats
+    return out

@@ -716,6 +716,55 @@ def _fit_coefs(
     return coefs[..., 0], resid, gram, a_rows, b
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
+    ),
+)
+def _fit_coefs_e2e(
+    coords: jax.Array,  # (T, N, 3) — unpadded
+    forces: jax.Array,
+    frame_idx: jax.Array,  # (F,) constraint-frame indices
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    t_pad: int,
+    solver_delta: jax.Array,
+    solver_iters: int,
+    use_pallas: bool,
+    t_block: int = 256,
+):
+    """Single-program fit: pad + mask + constraint-frame gather + Gram +
+    solve in ONE executable.
+
+    The split version (:func:`_fit_coefs` plus host-side pad/gather/mask
+    staging) dispatches ~6 small XLA programs per fit; on a remote-attached
+    device each dispatch is an RPC and each program is a separate
+    cache-load at cold start — measured, that is seconds of the <10 s
+    fresh-process budget. Folding everything into one traced program makes
+    the fit one dispatch and one executable.
+    """
+    t = coords.shape[0]
+    dtype = jnp.float32
+    constr_coords = coords[frame_idx].astype(dtype)
+    pad_spec = ((0, t_pad - t), (0, 0), (0, 0))
+    coords_p = jnp.pad(coords.astype(dtype), pad_spec)
+    forces_p = jnp.pad(forces.astype(dtype), pad_spec)
+    mask = (jnp.arange(t_pad) < t).astype(dtype)
+    return _fit_coefs(
+        coords_p, forces_p, mask, constr_coords, cmap_mat, group_mean,
+        onehot, counts, centers, kbt, l2_regularization, spec, n_chunks,
+        solver_delta, solver_iters, use_pallas, mesh=None, t_block=t_block,
+    )
+
+
 def fused_gb_linear_map(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -777,54 +826,66 @@ def fused_gb_linear_map(
     frame_idx = rng.choice(t, size=n_constraint_frames, replace=False)
 
     dtype = jnp.float32
-    # device-resident trajectories (jax arrays in traj) are padded on device,
-    # avoiding per-fit host copies and host->device re-transfers — data is
-    # staged once, fits are pure device work.
-    if isinstance(traj.coords, jax.Array):
-        pad_spec = ((0, pad), (0, 0), (0, 0))
-        coords_dev = jnp.pad(traj.coords.astype(dtype), pad_spec)
-        forces_dev = jnp.pad(traj.forces.astype(dtype), pad_spec)
-        constr_coords = traj.coords[jnp.asarray(frame_idx)].astype(dtype)
-    else:
-        coords_dev = jnp.asarray(
-            np.concatenate(
-                [
-                    traj.coords,
-                    np.zeros((pad,) + traj.coords.shape[1:], traj.coords.dtype),
-                ]
-            ),
-            dtype=dtype,
-        )
-        forces_dev = jnp.asarray(
-            np.concatenate(
-                [
-                    traj.forces,
-                    np.zeros((pad,) + traj.forces.shape[1:], traj.forces.dtype),
-                ]
-            ),
-            dtype=dtype,
-        )
-        constr_coords = jnp.asarray(traj.coords[frame_idx], dtype=dtype)
-    mask_dev = jnp.asarray(
-        np.concatenate([np.ones(t), np.zeros(pad)]), dtype=dtype
-    )
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        sharding = NamedSharding(mesh, P("frames"))
-        coords_dev = jax.device_put(coords_dev, sharding)
-        forces_dev = jax.device_put(forces_dev, sharding)
-        mask_dev = jax.device_put(mask_dev, sharding)
     if use_pallas == "auto":
-        # measured on v5e: 1.65x over the jitted XLA scan for the Gram stage
-        # with a ~2 s one-time compile; AGGFORCE_PALLAS=0 opts out
+        # measured on v5e: ~10x over the jitted XLA scan for the Gram stage
+        # at t_block=1024 with a ~2 s one-time compile; AGGFORCE_PALLAS=0
+        # opts out
         import os
 
         use_pallas = (
             os.environ.get("AGGFORCE_PALLAS", "1") == "1"
             and jax.devices()[0].platform == "tpu"
         )
-    t_blk = 256
+    # deep frame blocks keep the MXU pipeline fed (measured ~10 TF/s at 256
+    # vs ~95 TF/s at 1024 on v5e); small trajectories keep shallow blocks so
+    # padding (and interpret-mode test time) stays bounded
+    t_blk = 1024 if t >= 4096 else 256
+
+    if mesh is None:
+        # single-device: the whole fit (pad, mask, constraint-frame gather,
+        # Gram, batched solve) is ONE program and one dispatch
+        if use_pallas:
+            t_pad = -(-t_pad // t_blk) * t_blk
+        coefs, solver_resid, gram, a_rows, b = _fit_coefs_e2e(
+            jnp.asarray(traj.coords),
+            jnp.asarray(traj.forces),
+            jnp.asarray(frame_idx),
+            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+            jnp.asarray(group_mean, dtype=dtype),
+            jnp.asarray(onehot, dtype=dtype),
+            jnp.asarray(counts, dtype=dtype),
+            jnp.asarray(centers, dtype=dtype),
+            jnp.asarray(kbt, dtype=dtype),
+            jnp.asarray(l2_regularization, dtype=dtype),
+            spec,
+            n_chunks,
+            t_pad,
+            jnp.asarray(solver_delta, dtype=dtype),
+            solver_iters,
+            use_pallas,
+            t_block=t_blk,
+        )
+        return _package_fused_map(
+            coefs, solver_resid, gram, a_rows, b, coord_map, onehot,
+            centers, kbt, spec, resid_tol,
+        )
+
+    # --- mesh (multi-device) staging: shard the padded frame axis ---
+    pad_spec = ((0, pad), (0, 0), (0, 0))
+    coords_dev = jnp.pad(jnp.asarray(traj.coords, dtype=dtype), pad_spec)
+    forces_dev = jnp.pad(jnp.asarray(traj.forces, dtype=dtype), pad_spec)
+    constr_coords = jnp.asarray(traj.coords, dtype=dtype)[
+        jnp.asarray(frame_idx)
+    ]
+    mask_dev = jnp.asarray(
+        np.concatenate([np.ones(t), np.zeros(pad)]), dtype=dtype
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("frames"))
+    coords_dev = jax.device_put(coords_dev, sharding)
+    forces_dev = jax.device_put(forces_dev, sharding)
+    mask_dev = jax.device_put(mask_dev, sharding)
     if use_pallas and mesh is not None:
         # mesh variant needs per-shard frame counts divisible by t_block
         n_dev = int(mesh.devices.size)
@@ -866,6 +927,18 @@ def fused_gb_linear_map(
         mesh=fit_mesh,
         t_block=t_blk,
     )
+    return _package_fused_map(
+        coefs, solver_resid, gram, a_rows, b, coord_map, onehot, centers,
+        kbt, spec, resid_tol,
+    )
+
+
+def _package_fused_map(
+    coefs, solver_resid, gram, a_rows, b, coord_map, onehot, centers, kbt,
+    spec, resid_tol,
+) -> CLAFTMap:
+    """Fetch coefficients + residual (the fit's single host sync), escalate
+    unconverged solves to float64, and wrap the result as a CLAFTMap."""
     coefs_np, resid_val = jax.device_get((coefs, solver_resid))
     coefs_np = np.asarray(coefs_np)
     resid_val = float(resid_val)

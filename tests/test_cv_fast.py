@@ -181,3 +181,67 @@ def test_fused_gb_cv_mesh_matches_single_device(waterdimer):
         assert n_s == n_m == 3
         np.testing.assert_allclose(m_m, m_s, rtol=2e-3)
         np.testing.assert_allclose(sd_m, sd_s, rtol=5e-2)
+
+
+def test_featurizer_grid_fast_cv_matches_generic(waterdimer):
+    """A grid over featurizer hyperparameters (the reference cv_feat.py use
+    case) must route through the fast path and agree with the refit loop."""
+    from aggforce_tpu.qp import Multifeaturize, gb_feat, id_feat, qp_feat_linear_map
+    from aggforce_tpu.utils import Curry
+
+    coords = waterdimer["coords"][:200]
+    forces = waterdimer["forces"][:200]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    feats = [
+        Multifeaturize([id_feat, Curry(gb_feat, outer=1.0, n_basis=3)]),
+        Multifeaturize([id_feat, Curry(gb_feat, outer=1.5, n_basis=4)]),
+    ]
+    grid = {"featurizer": feats, "l2_regularization": [1e1, 1e3]}
+    common = dict(
+        coords=coords, forces=forces, n_folds=3, coord_map=cmap,
+        constrained_inds=set(), method=qp_feat_linear_map, kbt=0.5,
+    )
+    fast = project_forces_grid_cv(
+        cv_arg_dict=grid, rng=np.random.default_rng(7), fast=True, **common
+    )
+    generic = project_forces_grid_cv(
+        cv_arg_dict=grid, rng=np.random.default_rng(7), fast=False, **common
+    )
+    assert len(fast[SCORES_KNAME]) == 4
+    # same folds (same rng seed) -> scores agree up to fused-vs-protocol
+    # numerical differences
+    gen_by_key = {
+        (id(label.featurizer), float(label.l2_regularization)): score
+        for label, score in generic[SCORES_KNAME].items()
+    }
+    for label, score in fast[SCORES_KNAME].items():
+        key = (id(label.featurizer), float(label.l2_regularization))
+        assert np.isfinite(score)
+        # constraint-frame samples differ between the paths (each generic
+        # refit draws its own), so scores agree only to a few percent
+        np.testing.assert_allclose(score, gen_by_key[key], rtol=3e-2)
+
+
+def test_featurizer_only_grid_fast_cv(waterdimer):
+    """featurizer-only grids (no l2 axis) also dispatch."""
+    from aggforce_tpu.qp import Multifeaturize, gb_feat, id_feat, qp_feat_linear_map
+    from aggforce_tpu.utils import Curry
+
+    coords = waterdimer["coords"][:150]
+    forces = waterdimer["forces"][:150]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    feats = [
+        Multifeaturize([id_feat, Curry(gb_feat, outer=1.0, n_basis=3)]),
+        Multifeaturize([id_feat, Curry(gb_feat, outer=2.0, n_basis=3)]),
+    ]
+    out = project_forces_grid_cv(
+        cv_arg_dict={"featurizer": feats},
+        coords=coords, forces=forces, n_folds=3, coord_map=cmap,
+        constrained_inds=set(), method=qp_feat_linear_map, kbt=0.5,
+        l2_regularization=10.0,
+        rng=np.random.default_rng(3), fast=True,
+    )
+    assert len(out[SCORES_KNAME]) == 2
+    for label, score in out[SCORES_KNAME].items():
+        assert np.isfinite(score)
+        assert not hasattr(label, "l2_regularization")

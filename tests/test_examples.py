@@ -39,9 +39,11 @@ def test_gauss_example():
 @pytest.mark.slow
 @needs_pdb
 def test_cv_feat_example():
-    proc = _run("cv_feat.py", "--frames", "90", "--folds", "2")
+    proc = _run("cv_feat.py", "--frames", "90", "--folds", "2", "--quick")
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "best grid point" in proc.stdout
+    assert "best point" in proc.stdout
+    assert "static-map control" in proc.stdout
+    assert "full-data refit residual" in proc.stdout
 
 
 @pytest.mark.slow

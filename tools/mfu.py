@@ -27,7 +27,7 @@ PEAK_HBM_GBS = 819.0
 
 PDB = "/root/reference/tests/data/cln025.pdb"
 frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-t_block = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+t_block = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
 fix = synthesize_protein_fixture(PDB, n_frames=frames, seed=2024)
 cmap = LinearMap(ca_map_from_pdb(PDB), n_fg_sites=n_atoms(PDB))
@@ -72,18 +72,20 @@ print(f"T={frames} (pad {t_pad}) S={S} G={G} (pad {g_pad}) "
       f"K_exp={k_exp} (pad {k_pad}) t_block={t_block}")
 
 
-def timed(name, fn, n=5):
+def timed(name, fn, n=20):
+    """Amortized device time: n async dispatches, one sync + one fetch.
+
+    Per-call sync through the axon tunnel costs 10-45 ms — far more than
+    the kernel itself — so per-call wall clocks measure the tunnel, not the
+    device. Queueing n calls and dividing amortizes that latency away.
+    """
     out = fn()
     jax.block_until_ready(out)
-    float(jnp.sum(out))  # force through the tunnel
-    best = 1e9
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        float(jnp.sum(out))
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(n)]
+    jax.block_until_ready(outs)
+    float(jnp.sum(outs[-1]))  # force through the tunnel
+    return (time.perf_counter() - t0) / n, out
 
 
 def report(name, secs):
