@@ -33,7 +33,11 @@ def _frame_chunk(n_sites: int) -> int:
 
 @partial(jax.jit, static_argnames=("cross", "n_chunks"))
 def _distance_sd(
-    xyz: jax.Array, other: jax.Array, cross: bool, n_chunks: int = 1
+    xyz: jax.Array,
+    other: jax.Array,
+    mask: jax.Array,
+    cross: bool,
+    n_chunks: int = 1,
 ) -> jax.Array:
     """Std-dev over frames of every pairwise distance.
 
@@ -41,12 +45,16 @@ def _distance_sd(
     moments, so only one (chunk, n_a, n_b) distance block is ever live —
     the full (n_frames, N, N) tensor is never materialized (the reference
     builds it whole, constfinder.py:46, which is infeasible for the
-    100k-frame / thousands-of-atoms sweep).
+    100k-frame / thousands-of-atoms sweep). ``mask`` flags valid frames:
+    zero-padded frames (added so chunks stay rectangular) contribute
+    nothing, and the moments divide by the true frame count — every input
+    frame participates exactly once.
     """
     t = xyz.shape[0]
     chunk = t // n_chunks
     xa = xyz.reshape(n_chunks, chunk, *xyz.shape[1:])
     xb = other.reshape(n_chunks, chunk, *other.shape[1:])
+    ma = mask.reshape(n_chunks, chunk)
 
     def dists(a: jax.Array, b: jax.Array) -> jax.Array:
         # Gram trick: |a_j - b_i|^2 = |a_j|^2 + |b_i|^2 - 2 b_i . a_j keeps
@@ -66,8 +74,8 @@ def _distance_sd(
 
     def body(carry, inp):
         s1, s2 = carry
-        a, b = inp
-        delta = dists(a, b) - d0
+        a, b, m = inp
+        delta = (dists(a, b) - d0) * m[:, None, None]
         return (s1 + delta.sum(axis=0), s2 + (delta * delta).sum(axis=0)), None
 
     shape = (other.shape[1], xyz.shape[1])
@@ -75,9 +83,10 @@ def _distance_sd(
         jnp.zeros(shape, dtype=xyz.dtype),
         jnp.zeros(shape, dtype=xyz.dtype),
     )
-    (s1, s2), _ = jax.lax.scan(body, init, (xa, xb))
-    mean = s1 / t
-    var = jnp.maximum(s2 / t - mean * mean, 0.0)
+    (s1, s2), _ = jax.lax.scan(body, init, (xa, xb, ma))
+    t_true = jnp.sum(mask)
+    mean = s1 / t_true
+    var = jnp.maximum(s2 / t_true - mean * mean, 0.0)
     return jnp.sqrt(var)
 
 
@@ -106,18 +115,31 @@ def guess_pairwise_constraints(
     """
     t = xyz.shape[0]
     n_chunks = max(1, t // _frame_chunk(xyz.shape[1]))
-    # drop trailing frames that do not fill a chunk (statistically harmless
-    # for a fluctuation screen; avoids a ragged scan step)
-    t_use = (t // n_chunks) * n_chunks
-    x = jnp.asarray(xyz[:t_use])
+    # zero-pad to a rectangular (n_chunks, chunk) scan; padded frames are
+    # masked out of the moments so every real frame counts (the earlier
+    # revision dropped trailing frames — a silent deviation from the
+    # reference, which uses all frames)
+    chunk = -(-t // n_chunks)
+    t_pad = chunk * n_chunks
+    pad = ((0, t_pad - t), (0, 0), (0, 0))
+    x = jnp.pad(jnp.asarray(xyz), pad)
+    mask = jnp.asarray(
+        np.concatenate([np.ones(t), np.zeros(t_pad - t)]), dtype=x.dtype
+    )
     if cross_xyz is None:
-        sds = np.array(_distance_sd(x, x, cross=False, n_chunks=n_chunks))
+        sds = np.array(
+            _distance_sd(x, x, mask, cross=False, n_chunks=n_chunks)
+        )
         np.fill_diagonal(sds, threshold * 2)
         ii, jj = np.nonzero(sds < threshold)
         return {frozenset(p) for p in zip(ii.tolist(), jj.tolist())}
     sds = np.asarray(
         _distance_sd(
-            x, jnp.asarray(cross_xyz[:t_use]), cross=True, n_chunks=n_chunks
+            x,
+            jnp.pad(jnp.asarray(cross_xyz), pad),
+            mask,
+            cross=True,
+            n_chunks=n_chunks,
         )
     )
     ii, jj = np.nonzero(sds < threshold)

@@ -50,3 +50,29 @@ def test_guess_pairwise_constraints_cross():
     other[:, 1, :] = coords[:, 2, :] + np.array([0.0, 0.2, 0.0])
     found = guess_pairwise_constraints(coords, cross_xyz=other, threshold=1e-3)
     assert found == {(1, 2)}
+
+
+def test_ragged_tail_frames_all_count(monkeypatch):
+    """Trailing frames beyond a full chunk must participate in the screen
+    (an earlier revision silently dropped them)."""
+    import aggforce_tpu.constraints.finder as finder
+    from aggforce_tpu.constraints import guess_pairwise_constraints
+
+    rng = np.random.default_rng(0)
+    n_frames, n_sites = 67, 8  # 67 is deliberately ragged for any chunking
+    base = rng.normal(size=(n_sites, 3))
+    coords = base[None] + 1e-6 * rng.normal(size=(n_frames, n_sites, 3))
+    # pair (0, 1) rigid everywhere; pair (2, 3) rigid in every frame EXCEPT
+    # the last one — only a screen that sees the tail can reject it
+    coords[:, 1] = coords[:, 0] + np.array([1.0, 0.0, 0.0])
+    coords[:, 3] = coords[:, 2] + np.array([0.0, 1.0, 0.0])
+    coords[-1, 3] += np.array([0.0, 0.5, 0.0])
+    coords = coords.astype(np.float32)
+
+    # force multi-chunk streaming with a ragged tail
+    monkeypatch.setattr(finder, "_frame_chunk", lambda n: 16)  # 67 = 4*16+3
+    found = guess_pairwise_constraints(coords, threshold=1e-3)
+    assert frozenset((0, 1)) in found
+    assert frozenset((2, 3)) not in found, (
+        "tail frame was ignored: (2,3) breaks rigidity only in frame 66"
+    )
