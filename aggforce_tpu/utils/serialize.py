@@ -27,7 +27,6 @@ from ..map import (
     RATMap,
     SeperableTMap,
 )
-from ..map.tmap import TMap
 from ..qp.fusedfeat import FusedGBMap, GBFeatSpec
 from ..trajectory import JCondNormal, SimpleCondNormal
 from ..trajectory.gaussian import _ident

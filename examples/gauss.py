@@ -12,7 +12,6 @@ import argparse
 import os
 import tempfile
 
-import numpy as np
 
 from aggforce_tpu import (
     LinearMap,

@@ -1,7 +1,6 @@
 """Equality-constrained QP solver correctness (device vs float64 oracle)."""
 
 import numpy as np
-import pytest
 
 from aggforce_tpu.ops.eqp import batched_eqp_solve, eqp_solve, eqp_solve_host
 

@@ -1,6 +1,5 @@
 """Gaussian augmenter parity and correctness."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

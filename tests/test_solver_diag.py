@@ -11,7 +11,6 @@ contract; here it is checked explicitly.
 import numpy as np
 import pytest
 
-from aggforce_tpu import LinearMap
 from aggforce_tpu.ops.eqp import batched_eqp_solve_auglag, eqp_solve_auglag
 from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
 from aggforce_tpu.qp.qplinear import qp_linear_map

@@ -14,7 +14,7 @@ tests/test_gaussmap.py:329-407.
 import numpy as np
 import pytest
 
-from aggforce_tpu import LinearMap, jaxmapval as mv, project_forces
+from aggforce_tpu import jaxmapval as mv, project_forces
 from aggforce_tpu.agg import TMAP_KNAME
 from aggforce_tpu.qp import (
     Multifeaturize,
