@@ -301,7 +301,17 @@ def process_cvargs(
 
 
 def force_smoothness(array: np.ndarray) -> float:
-    """Mean squared element — the force-map quality residual."""
+    """Mean squared element — the force-map quality residual.
+
+    Device (jax) inputs reduce on device and fetch one scalar, so scoring a
+    device-resident mapped trajectory does not pull the whole array to host.
+    """
+    import jax
+
+    if isinstance(array, jax.Array):
+        import jax.numpy as jnp
+
+        return float(jnp.mean(jnp.square(array)))
     return float(np.mean(np.asarray(array) ** 2))
 
 

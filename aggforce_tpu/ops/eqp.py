@@ -68,22 +68,28 @@ def eqp_solve_auglag(
     iters: int = 10,
     return_resid: bool = False,
 ):
-    r"""Augmented-Lagrangian equality-QP solve (Cholesky only, multi-RHS).
+    r"""Direct range-space equality-QP solve (Cholesky only, multi-RHS).
 
-    Iterates x = (P + rho A^T A + delta I)^{-1} A^T (y + rho b),
-    y <- y + rho (b - A x); the fixed point satisfies the exact KKT
-    conditions, with per-iteration constraint-error contraction ~ sigma(P)/rho
-    after equilibration. Uses unpivoted Cholesky factorizations — on TPU this
-    both runs faster than the pivoted-LU KKT solve and compiles an order of
-    magnitude faster (batched pivoted LU is extremely expensive to compile),
-    which is why it is the default for jitted device paths. Handles redundant
-    constraint rows and PSD P.
+    Solves min x^T P x s.t. A x = b through the augmented operator
+    M = P + rho A^T A + delta I (same minimizer; rho bounds the condition
+    number along constraint directions): Z = M^{-1} A^T via one multi-RHS
+    Cholesky solve, lambda from the m x m Schur complement A M^{-1} A^T,
+    x = Z lambda, then a short constraint-residual refinement loop. Uses
+    unpivoted Cholesky factorizations only — on TPU this runs and compiles
+    orders of magnitude faster than pivoted-LU KKT solves, and the direct
+    structure has no iterative-convergence failure mode on stiff problems
+    (an earlier dual-iteration variant needed ~40 triangular solves per
+    problem and could stall below f32 tolerance). Handles redundant
+    constraint rows (diagonal shift on the Schur complement, removed by the
+    refinement) and PSD P.
 
     Regularization is two-level: ``delta`` (tiny, negligible bias) is tried
     first; float32 Gram accumulation can leave ~1e-4-scale indefiniteness on
     the normalized matrix, and only when that makes the small-delta Cholesky
     non-finite does the solve fall back to ``delta_fallback`` — so
     well-behaved problems keep full accuracy while noisy ones stay finite.
+    ``iters`` caps the refinement sweeps (clamped to 8 — convergence is
+    linear with a tiny contraction factor).
 
     With ``return_resid=True`` also returns ``max |An x - Bn|`` over the
     row-equilibrated constraint system — a scale-invariant convergence
@@ -93,6 +99,7 @@ def eqp_solve_auglag(
     """
     dtype = P.dtype
     n = P.shape[0]
+    m = A.shape[0]
     p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
     Pn = P / p_scale
     Pn = 0.5 * (Pn + Pn.T)
@@ -102,6 +109,10 @@ def eqp_solve_auglag(
     An = A / row_norm
     Bn = B / row_norm
     rho = jnp.asarray(rho, dtype)
+    # Range-space (Schur-complement) direct solve. The augmented matrix
+    # keeps the rho*A^T A term: it bounds the condition number along the
+    # constraint directions exactly as in the dual iteration, and the
+    # minimizer of x^T P x s.t. Ax = b is unchanged by adding rho|Ax|^2.
     M = Pn + rho * jnp.matmul(An.T, An, precision="highest")
     eye = jnp.eye(n, dtype=dtype)
     chol_small = jsl.cho_factor(M + jnp.asarray(delta, dtype) * eye, lower=True)
@@ -113,17 +124,52 @@ def eqp_solve_auglag(
         jnp.where(ok, chol_small[0], chol_big[0]),
         chol_small[1],
     )
+    # Z = M^{-1} A^T via ONE multi-RHS triangular solve pair — on TPU the
+    # sequential substitution cost amortizes over the m right-hand sides,
+    # unlike a triangular solve per dual iteration (~1.4 ms each, measured
+    # at batch 10 x n~800). The m x m Schur complement S = A M^{-1} A^T is
+    # then factorized once and the exact constrained solution is
+    #   x = Z lambda,  S lambda = b
+    # with redundancy handled by a tiny diagonal shift on S; a short
+    # constraint-residual refinement loop (GEMVs + m x m triangular solves)
+    # removes both that shift's bias and f32 rounding. Direct solve, so no
+    # dual-convergence failure mode on stiff problems.
+    Z = jsl.cho_solve(chol, An.T)  # (n, m)
+    S = jnp.matmul(An, Z, precision="highest")
+    # f32 rounding through Z leaves S slightly asymmetric and, when sampled
+    # constraint rows are near-dependent (rank-deficient row sets occur
+    # routinely for frame-sampled orthogonality rows), indefinite by
+    # O(eps * cond). Symmetrize and use a generous third-level shift — the
+    # refinement loop removes the shift's bias on every consistent system,
+    # so robustness here is free accuracy-wise.
+    S = 0.5 * (S + S.T)
+    eye_m = jnp.eye(m, dtype=dtype)
+    s_scale = jnp.trace(S) / m + jnp.asarray(1e-30, dtype)
+    sc_small = jsl.cho_factor(
+        S + (jnp.asarray(delta, dtype) * s_scale) * eye_m, lower=True
+    )
+    sc_mid = jsl.cho_factor(
+        S + (jnp.asarray(delta_fallback, dtype) * s_scale) * eye_m, lower=True
+    )
+    sc_big = jsl.cho_factor(
+        S + jnp.asarray(3e-2, dtype) * s_scale * eye_m, lower=True
+    )
+    ok_small = jnp.isfinite(sc_small[0]).all()
+    ok_mid = jnp.isfinite(sc_mid[0]).all()
+    l_sel = jnp.where(
+        ok_small, sc_small[0], jnp.where(ok_mid, sc_mid[0], sc_big[0])
+    )
+    chol_s = (l_sel, sc_small[1])
 
-    def body(_, carry):
-        x, y = carry
-        rhs = jnp.matmul(An.T, y + rho * Bn, precision="highest")
-        x = jsl.cho_solve(chol, rhs)
-        y = y + rho * (Bn - jnp.matmul(An, x, precision="highest"))
-        return (x, y)
+    lam = jsl.cho_solve(chol_s, Bn)
+    x = jnp.matmul(Z, lam, precision="highest")
 
-    x0 = jnp.zeros((n,) + B.shape[1:], dtype)
-    y0 = jnp.zeros_like(Bn)
-    x, _ = jax.lax.fori_loop(0, iters, body, (x0, y0))
+    def body(_, x):
+        r = Bn - jnp.matmul(An, x, precision="highest")
+        dlam = jsl.cho_solve(chol_s, r)
+        return x + jnp.matmul(Z, dlam, precision="highest")
+
+    x = jax.lax.fori_loop(0, min(iters, 8), body, x)
     if return_resid:
         resid = jnp.max(
             jnp.abs(Bn - jnp.matmul(An, x, precision="highest"))
@@ -225,24 +271,21 @@ def batched_eqp_solve_auglag(
 ):
     """Batched :func:`eqp_solve_auglag` over a leading axis (production
     device solver: Cholesky-only, fast to compile and run; per-problem
-    two-level regularization).
+    regularization selection).
 
-    With ``return_resid=True`` returns ``(X, resid)`` where ``resid`` is the
-    max equilibrated constraint violation across the whole batch — one
-    scalar, cheap to fetch alongside the solutions, used by callers as the
-    convergence check that triggers float64 escalation.
+    With ``return_resid=True`` returns ``(X, resids)`` where ``resids`` is
+    the (batch,) vector of per-problem equilibrated constraint violations —
+    cheap to fetch alongside the solutions, used by callers as the
+    convergence check that triggers float64 escalation (per problem or via
+    ``resids.max()``).
     """
-    out = jax.vmap(
+    return jax.vmap(
         lambda p, a, b: eqp_solve_auglag(
             p, a, b, rho=rho, delta=delta,
             delta_fallback=delta_fallback, iters=iters,
             return_resid=return_resid,
         )
     )(P, A, B)
-    if return_resid:
-        x, resid = out
-        return x, jnp.max(resid)
-    return out
 
 
 def eqp_solve_host(

@@ -21,6 +21,17 @@ collapses algebraically:
 
 Net cost: one trajectory pass + (n_folds * n_l2) solves of K x K systems —
 versus the reference's (n_folds * n_l2) full passes + solver runs.
+
+Numerical contract: the batched f32 solves report their max equilibrated
+constraint violation; if it exceeds ``resid_tol`` the score table is
+recomputed with the float64 oracle from the same device Grams. Note one
+irreducible sensitivity (any implementation, including the reference's
+refit loop): at severely under-regularized grid points the holdout
+quadratic form amplifies Gram rounding by the train system's condition
+number — f32 Gram accumulation then carries O(cond * eps) score noise
+(~10% observed at cond ~1e6). Such points are exactly the unstable fits CV
+exists to reject; their relative ordering against well-conditioned points
+is unaffected.
 """
 
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -65,12 +76,14 @@ def _linear_solve_scores(
     basis: jax.Array,  # (S, S)
     ridge: jax.Array,  # (R, R)
     l2_vec: jax.Array,  # (n_l2,)
-) -> jax.Array:
+):
     """Every (l2, fold) linear-map fit + holdout score in ONE device call.
 
-    Returns the (n_l2, k) holdout quadratic forms x^T G_heldout x. Batching
-    the whole grid into a single dispatch matters on remote-attached
-    devices, where each call carries transport latency.
+    Returns the (n_l2, k) holdout quadratic forms x^T G_heldout x plus the
+    per-cell equilibrated constraint violations (the convergence diagnostic
+    — callers escalate individual cells to float64 when they exceed
+    tolerance). Batching the whole grid into a single dispatch matters on
+    remote-attached devices, where each call carries transport latency.
     """
     k = grams.shape[0]
     n_l2 = l2_vec.shape[0]
@@ -79,10 +92,13 @@ def _linear_solve_scores(
     flat_p = p_all.reshape(n_l2 * k, *grams.shape[1:])
     flat_a = jnp.broadcast_to(a_mat, (n_l2 * k,) + a_mat.shape)
     flat_b = jnp.broadcast_to(basis, (n_l2 * k,) + basis.shape)
-    x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)  # (n_l2*k, R, S)
+    x, resids = batched_eqp_solve_auglag(
+        flat_p, flat_a, flat_b, iters=40, return_resid=True
+    )  # (n_l2*k, R, S)
     x = x.reshape(n_l2, k, *x.shape[1:])
     gx = jnp.einsum("fij,lfjs->lfis", grams, x, precision="highest")
-    return jnp.sum(x * gx, axis=(2, 3))  # (n_l2, k)
+    qf = jnp.sum(x * gx, axis=(2, 3))
+    return qf, resids.reshape(n_l2, k)  # both (n_l2, k)
 
 
 @jax.jit
@@ -91,8 +107,11 @@ def _featurized_solve_scores(
     rows: jax.Array,  # (k, S, m, K) constraint rows
     b_all: jax.Array,  # (k, S, m)
     l2_vec: jax.Array,  # (n_l2,)
-) -> jax.Array:
-    """Every (l2, fold, site) featurized fit + holdout score in ONE call."""
+):
+    """Every (l2, fold, site) featurized fit + holdout score in ONE call.
+
+    Returns the (n_l2, k) score table plus per-cell equilibrated
+    constraint violations (convergence diagnostic for f64 escalation)."""
     k, s_dim, k_exp = grams.shape[0], grams.shape[1], grams.shape[-1]
     n_l2 = l2_vec.shape[0]
     g_total = jnp.sum(grams, axis=0)
@@ -106,10 +125,67 @@ def _featurized_solve_scores(
     flat_b = jnp.broadcast_to(b_all, (n_l2,) + b_all.shape).reshape(
         flat, -1, 1
     )
-    x = batched_eqp_solve_auglag(flat_p, flat_a, flat_b)[..., 0]
-    x = x.reshape(n_l2, k, s_dim, k_exp)
+    x, resids = batched_eqp_solve_auglag(
+        flat_p, flat_a, flat_b, iters=40, return_resid=True
+    )
+    x = x[..., 0].reshape(n_l2, k, s_dim, k_exp)
     gx = jnp.einsum("fsij,lfsj->lfsi", grams, x, precision="highest")
-    return jnp.sum(x * gx, axis=(2, 3))  # (n_l2, k)
+    qf = jnp.sum(x * gx, axis=(2, 3))
+    # per-(l2, fold) convergence: worst site in the cell
+    resid_cells = jnp.max(resids.reshape(n_l2, k, s_dim), axis=2)
+    return qf, resid_cells  # both (n_l2, k)
+
+
+def _host_linear_scores(
+    grams: np.ndarray,  # (k, R, R) heldout Grams
+    a_mat: np.ndarray,  # (S, R)
+    basis: np.ndarray,  # (S, S)
+    ridge: np.ndarray,  # (R, R)
+    l2_values: Sequence[float],
+    qf: np.ndarray,  # (n_l2, k) device scores, overwritten where cells fail
+    cells: np.ndarray,  # (n_l2, k) bool: True -> recompute this cell
+) -> np.ndarray:
+    """Float64 oracle for failing (l2, fold) cells (escalation path)."""
+    from ..ops.eqp import eqp_solve_host
+
+    g_total = grams.sum(axis=0, dtype=np.float64)
+    for i, l2 in enumerate(l2_values):
+        for f in range(grams.shape[0]):
+            if not cells[i, f]:
+                continue
+            p = g_total - grams[f] + float(l2) * ridge.astype(np.float64)
+            x = eqp_solve_host(p, a_mat, basis)  # (R, S)
+            qf[i, f] = np.einsum(
+                "rs,rq,qs->", x, grams[f].astype(np.float64), x
+            )
+    return qf
+
+
+def _host_featurized_scores(
+    grams: np.ndarray,  # (k, S, K, K)
+    rows: np.ndarray,  # (k, S, m, K)
+    b_all: np.ndarray,  # (k, S, m)
+    l2_values: Sequence[float],
+    qf: np.ndarray,  # (n_l2, k) device scores, overwritten where cells fail
+    cells: np.ndarray,  # (n_l2, k) bool: True -> recompute this cell
+) -> np.ndarray:
+    """Float64 oracle for failing featurized (l2, fold) cells."""
+    from ..ops.eqp import eqp_solve_host
+
+    k, s_dim, k_exp = grams.shape[0], grams.shape[1], grams.shape[-1]
+    g_total = grams.sum(axis=0, dtype=np.float64)
+    eye = np.eye(k_exp)
+    for i, l2 in enumerate(l2_values):
+        for f in range(k):
+            if not cells[i, f]:
+                continue
+            total = 0.0
+            for s in range(s_dim):
+                p = g_total[s] - grams[f, s] + float(l2) * eye
+                x = eqp_solve_host(p, rows[f, s], b_all[f, s][:, None])[:, 0]
+                total += x @ grams[f, s].astype(np.float64) @ x
+            qf[i, f] = total
+    return qf
 
 
 def _l2_blocks(
@@ -141,6 +217,7 @@ def linear_map_cv(
     n_folds: int = 5,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    resid_tol: float = 1e-4,
 ) -> Dict[float, Tuple[Optional[float], Optional[float], int]]:
     """K-fold CV of the optimal linear map over an l2 grid, in one pass.
 
@@ -150,6 +227,11 @@ def linear_map_cv(
     axis "frames") the per-fold frame axis is sharded and XLA's SPMD
     partitioner distributes the Gram GEMMs (no explicit collectives needed
     for this small kernel).
+
+    Convergence is checked: if the batched f32 solve's equilibrated
+    constraint violation exceeds ``resid_tol``, the whole score table is
+    recomputed with the float64 oracle (small systems — the Gram pass, the
+    expensive part, is reused).
     """
     del coords  # constraints are supplied explicitly; coords unused
     con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
@@ -202,13 +284,31 @@ def linear_map_cv(
     r = con_mat.shape[1]
     block = _l2_blocks(len(l2_values), 4 * r * r, n_folds)
     qf_blocks = []
+    resids = []
     for i in range(0, len(l2_values), block):
         l2_vec = jnp.asarray(list(l2_values[i : i + block]), dtype)
-        qf_blocks.append(
-            _linear_solve_scores(grams, a_mat, basis, ridge, l2_vec)
-        )
+        qf, resid = _linear_solve_scores(grams, a_mat, basis, ridge, l2_vec)
+        qf_blocks.append(qf)
+        resids.append(resid)
     # one host sync for the whole grid (every call above is async)
-    qf_all = np.asarray(jnp.concatenate(qf_blocks, axis=0))  # (n_l2, k)
+    qf_all, resid_all = jax.device_get(
+        (jnp.concatenate(qf_blocks, axis=0), jnp.concatenate(resids, axis=0))
+    )
+    qf_all = np.asarray(qf_all)  # (n_l2, k)
+    resid_all = np.asarray(resid_all)
+    bad = ~(resid_all <= resid_tol)  # NaN-aware
+    if bad.any():
+        # f32 solve did not converge on SOME (l2, fold) cells: redo exactly
+        # those with the float64 oracle, reusing the device Grams
+        qf_all = _host_linear_scores(
+            np.asarray(grams, dtype=np.float64),
+            np.asarray(a_mat, dtype=np.float64),
+            np.asarray(basis, dtype=np.float64),
+            np.asarray(ridge, dtype=np.float64),
+            l2_values,
+            qf_all,
+            bad,
+        )
     denoms = np.array(
         [3 * len(idx) * coord_map.n_cg_sites for idx in folds], dtype=np.float64
     )
@@ -227,6 +327,7 @@ def fused_gb_cv(
     n_constraint_frames: int = 20,
     rng: Optional[np.random.Generator] = None,
     mesh=None,
+    resid_tol: float = 1e-4,
 ) -> Dict[float, Tuple[Optional[float], Optional[float], int]]:
     """K-fold CV of the canonical featurized map over an l2 grid, one pass.
 
@@ -235,7 +336,9 @@ def fused_gb_cv(
     subtraction, the (fold x site) constrained solves are one batched
     Cholesky per l2 value, and holdout scores are Gram quadratic forms.
     With ``mesh`` (1-D, axis "frames") each fold's Gram pass shards its
-    frames over the devices with a psum reduction.
+    frames over the devices with a psum reduction. Unconverged f32 solves
+    (equilibrated constraint violation above ``resid_tol``) escalate the
+    score table to the float64 oracle, reusing the device Grams.
     """
     from .featlinearmap import id_feat
     from .fusedfeat import (
@@ -354,13 +457,30 @@ def fused_gb_cv(
     k_exp = grams.shape[-1]
     block = _l2_blocks(len(l2_values), 4 * k_exp * k_exp, n_folds * s_dim)
     qf_blocks = []
+    resids = []
     for i in range(0, len(l2_values), block):
         l2_vec = jnp.asarray(list(l2_values[i : i + block]), dtype)
-        qf_blocks.append(
-            _featurized_solve_scores(grams, rows, b_all, l2_vec)
-        )
+        qf, resid = _featurized_solve_scores(grams, rows, b_all, l2_vec)
+        qf_blocks.append(qf)
+        resids.append(resid)
     # one host sync for the whole grid (every call above is async)
-    qf_all = np.asarray(jnp.concatenate(qf_blocks, axis=0))  # (n_l2, k)
+    qf_all, resid_all = jax.device_get(
+        (jnp.concatenate(qf_blocks, axis=0), jnp.concatenate(resids, axis=0))
+    )
+    qf_all = np.asarray(qf_all)  # (n_l2, k)
+    resid_all = np.asarray(resid_all)
+    bad = ~(resid_all <= resid_tol)  # NaN-aware
+    if bad.any():
+        # f32 solve unconverged on SOME (l2, fold) cells (ill-conditioned
+        # featurized Grams): redo exactly those with the float64 oracle
+        qf_all = _host_featurized_scores(
+            np.asarray(grams, dtype=np.float64),
+            np.asarray(rows, dtype=np.float64),
+            np.asarray(b_all, dtype=np.float64),
+            l2_values,
+            qf_all,
+            bad,
+        )
     denoms = np.array(
         [3 * len(idx) * s_dim for idx in folds], dtype=np.float64
     )

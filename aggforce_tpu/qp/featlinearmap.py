@@ -268,17 +268,20 @@ def qp_feat_linear_map(
                 refine_iters=opts.get("refine_iters", 4),
             )[:, 0]
         else:
-            params = np.asarray(
-                eqp_solve_auglag(
-                    jnp.asarray(gram, dtype=jnp.float32),
-                    jnp.asarray(constr_mult, dtype=jnp.float32),
-                    jnp.asarray(constr_target[:, None], dtype=jnp.float32),
-                    delta=opts.get("delta", 1e-6),
-                    iters=opts.get("refine_iters", 10),
-                )
-            )[:, 0]
-            if not np.all(np.isfinite(params)):
-                # rare f32 conditioning failure: retry with the f64 oracle
+            params_dev, resid = eqp_solve_auglag(
+                jnp.asarray(gram, dtype=jnp.float32),
+                jnp.asarray(constr_mult, dtype=jnp.float32),
+                jnp.asarray(constr_target[:, None], dtype=jnp.float32),
+                delta=opts.get("delta", 1e-6),
+                iters=opts.get("refine_iters", 40),
+                return_resid=True,
+            )
+            params = np.asarray(params_dev)[:, 0]
+            if not np.all(np.isfinite(params)) or not float(resid) <= opts.get(
+                "resid_tol", 1e-4
+            ):  # NaN-aware
+                # f32 conditioning failure (non-finite, or finite but
+                # unconverged past tolerance): retry with the f64 oracle
                 params = eqp_solve_host(
                     gram, constr_mult, constr_target[:, None]
                 )[:, 0]

@@ -709,11 +709,11 @@ def _fit_coefs(
             onehot, counts, centers, kbt, l2_regularization, spec,
             n_chunks, mesh=mesh,
         )
-    coefs, resid = batched_eqp_solve_auglag(
+    coefs, resids = batched_eqp_solve_auglag(
         gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters,
         return_resid=True,
     )
-    return coefs[..., 0], resid, gram, a_rows, b
+    return coefs[..., 0], jnp.max(resids), gram, a_rows, b
 
 
 @partial(
@@ -765,6 +765,139 @@ def _fit_coefs_e2e(
     )
 
 
+def _prepare_fused_setup(
+    traj: Trajectory,
+    coord_map: LinearMap,
+    spec: GBFeatSpec,
+    constraints: Constraints,
+    chunk_size: int,
+    mesh,
+    use_pallas: Union[bool, str],
+) -> dict:
+    """Shared fit setup: group factorization, padding plan, pallas policy."""
+    ids = id_feat(traj.coords, coord_map, constraints, return_ids=True)
+    n_channels = int(ids.max()) + 1
+    onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
+    onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
+    counts = onehot.sum(axis=0)
+    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
+    centers = _basis_centers(spec).astype(np.float32)
+
+    t = len(traj)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    n_chunks = n_dev * max(1, -(-t // (n_dev * chunk_size)))
+    chunk = -(-t // n_chunks)
+    t_pad = chunk * n_chunks
+
+    if use_pallas == "auto":
+        # measured on v5e: ~10x over the jitted XLA scan for the Gram stage
+        # at t_block=1024 with a ~2 s one-time compile; AGGFORCE_PALLAS=0
+        # opts out
+        import os
+
+        use_pallas = (
+            os.environ.get("AGGFORCE_PALLAS", "1") == "1"
+            and jax.devices()[0].platform == "tpu"
+        )
+    # deep frame blocks keep the MXU pipeline fed (measured ~10 TF/s at 256
+    # vs ~95 TF/s at 1024 on v5e); small trajectories keep shallow blocks so
+    # padding (and interpret-mode test time) stays bounded
+    t_blk = 1024 if t >= 4096 else 256
+    return {
+        "onehot": onehot,
+        "group_mean": group_mean,
+        "counts": counts,
+        "centers": centers,
+        "t": t,
+        "n_chunks": n_chunks,
+        "t_pad": t_pad,
+        "pad": t_pad - t,
+        "use_pallas": use_pallas,
+        "t_blk": t_blk,
+    }
+
+
+def fused_gb_linear_map_batch(
+    traj: Trajectory,
+    coord_map: LinearMap,
+    kbt: float,
+    spec: GBFeatSpec,
+    seeds,
+    constraints: Optional[Constraints] = None,
+    n_constraint_frames: int = 20,
+    l2_regularization: float = 1e1,
+    chunk_size: int = 2048,
+    solver_delta: float = 1e-6,
+    solver_iters: int = 40,
+    resid_tol: float = 1e-4,
+    use_pallas: Union[bool, str] = "auto",
+):
+    """Fit one map per constraint-sample seed, pipelined on device.
+
+    Dispatches every fit asynchronously (same executable, different
+    constraint frames) and fetches all coefficients + residuals in ONE host
+    sync — on remote-attached devices this amortizes the per-call transport
+    latency across the batch, exposing the device-only fit throughput.
+    Use cases: bootstrap uncertainty over the sampled orthogonality frames,
+    or simply fitting many maps fast. Returns a list of CLAFTMaps (one per
+    seed), each convergence-checked exactly like
+    :func:`fused_gb_linear_map`.
+    """
+    if constraints is None:
+        constraints = set()
+    setup = _prepare_fused_setup(
+        traj, coord_map, spec, constraints, chunk_size, None, use_pallas
+    )
+    t = setup["t"]
+    t_pad, t_blk = setup["t_pad"], setup["t_blk"]
+    if setup["use_pallas"]:
+        t_pad = -(-t_pad // t_blk) * t_blk
+    dtype = jnp.float32
+    n_cf = min(n_constraint_frames, t)
+    coords_dev = jnp.asarray(traj.coords)
+    forces_dev = jnp.asarray(traj.forces)
+    common = (
+        jnp.asarray(coord_map.standard_matrix, dtype=dtype),
+        jnp.asarray(setup["group_mean"], dtype=dtype),
+        jnp.asarray(setup["onehot"], dtype=dtype),
+        jnp.asarray(setup["counts"], dtype=dtype),
+        jnp.asarray(setup["centers"], dtype=dtype),
+        jnp.asarray(kbt, dtype=dtype),
+        jnp.asarray(l2_regularization, dtype=dtype),
+    )
+    results = []
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        frame_idx = rng.choice(t, size=n_cf, replace=False)
+        results.append(
+            _fit_coefs_e2e(
+                coords_dev,
+                forces_dev,
+                jnp.asarray(frame_idx),
+                *common,
+                spec,
+                setup["n_chunks"],
+                t_pad,
+                jnp.asarray(solver_delta, dtype=dtype),
+                solver_iters,
+                setup["use_pallas"],
+                t_block=t_blk,
+            )
+        )
+    # one sync for the whole batch
+    fetched = jax.device_get([(r[0], r[1]) for r in results])
+    maps = []
+    for (coefs_np, resid_val), (_, _, gram, a_rows, b) in zip(fetched, results):
+        maps.append(
+            _package_fused_map(
+                np.asarray(coefs_np), float(resid_val), gram, a_rows, b,
+                coord_map, setup["onehot"], setup["centers"], kbt, spec,
+                resid_tol,
+            )
+        )
+    return maps
+
+
 def fused_gb_linear_map(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -804,20 +937,17 @@ def fused_gb_linear_map(
     """
     if constraints is None:
         constraints = set()
-    ids = id_feat(traj.coords, coord_map, constraints, return_ids=True)
-    n_channels = int(ids.max()) + 1
-    onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
-    onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
-    counts = onehot.sum(axis=0)
-    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
-    centers = _basis_centers(spec).astype(np.float32)
-
-    t = len(traj)
-    n_dev = 1 if mesh is None else int(mesh.devices.size)
-    n_chunks = n_dev * max(1, -(-t // (n_dev * chunk_size)))
-    chunk = -(-t // n_chunks)
-    t_pad = chunk * n_chunks
-    pad = t_pad - t
+    setup = _prepare_fused_setup(
+        traj, coord_map, spec, constraints, chunk_size, mesh, use_pallas
+    )
+    onehot, group_mean, counts, centers = (
+        setup["onehot"], setup["group_mean"], setup["counts"],
+        setup["centers"],
+    )
+    t, n_chunks, t_pad, pad = (
+        setup["t"], setup["n_chunks"], setup["t_pad"], setup["pad"]
+    )
+    use_pallas, t_blk = setup["use_pallas"], setup["t_blk"]
 
     rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
     # short trajectories: cannot sample more distinct constraint frames than
@@ -826,20 +956,6 @@ def fused_gb_linear_map(
     frame_idx = rng.choice(t, size=n_constraint_frames, replace=False)
 
     dtype = jnp.float32
-    if use_pallas == "auto":
-        # measured on v5e: ~10x over the jitted XLA scan for the Gram stage
-        # at t_block=1024 with a ~2 s one-time compile; AGGFORCE_PALLAS=0
-        # opts out
-        import os
-
-        use_pallas = (
-            os.environ.get("AGGFORCE_PALLAS", "1") == "1"
-            and jax.devices()[0].platform == "tpu"
-        )
-    # deep frame blocks keep the MXU pipeline fed (measured ~10 TF/s at 256
-    # vs ~95 TF/s at 1024 on v5e); small trajectories keep shallow blocks so
-    # padding (and interpret-mode test time) stays bounded
-    t_blk = 1024 if t >= 4096 else 256
 
     if mesh is None:
         # single-device: the whole fit (pad, mask, constraint-frame gather,
@@ -942,7 +1058,7 @@ def _package_fused_map(
     coefs_np, resid_val = jax.device_get((coefs, solver_resid))
     coefs_np = np.asarray(coefs_np)
     resid_val = float(resid_val)
-    if not np.all(np.isfinite(coefs_np)) or resid_val > resid_tol:
+    if not np.all(np.isfinite(coefs_np)) or not resid_val <= resid_tol:  # NaN-aware
         # f32 solves on ill-conditioned feature Grams can fail outright
         # (non-finite) or converge past tolerance while staying finite —
         # OSQP's eps_abs=1e-7 + polish would catch both (reference

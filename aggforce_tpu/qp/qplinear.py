@@ -22,7 +22,7 @@ TPU-first redesign (same math, different execution):
 """
 
 from functools import partial
-from typing import Optional, TypedDict, Union
+from typing import Optional, Tuple, TypedDict, Union
 
 import jax
 import jax.numpy as jnp
@@ -72,25 +72,30 @@ def _solver_opts(solver_args: Optional[dict]) -> SolverOptions:
     return out  # type: ignore[return-value]
 
 
-@partial(jax.jit, static_argnames=("n_chunks",))
+@partial(jax.jit, static_argnames=("n_chunks", "r"))
 def _device_linear_fit(
     forces: jax.Array,
-    con_mat: jax.Array,
+    labels: jax.Array,  # (N,) int32: site -> reduced-coefficient column
     cmap_mat: jax.Array,
     l2_regularization: jax.Array,
     n_chunks: int = 1,
+    r: int = 0,
 ) -> jax.Array:
     """Fused device fit: blockwise Gram + multi-RHS solve + re-expansion.
 
-    forces: (T, N, 3) with T divisible by n_chunks; con_mat: (N, R);
-    cmap_mat: (n_cg, N). The Gram accumulates over frame blocks under a scan
-    so only one (3*chunk, R) design block is ever live — 100k-frame,
+    forces: (T, N, 3) with T divisible by n_chunks; cmap_mat: (n_cg, N).
+    The constraint duplication matrix C is built ON DEVICE from the integer
+    ``labels`` (a 4*N-byte upload instead of a dense (N, R) float matrix —
+    at sweep scale, 12 KB instead of ~27 MB through the host tunnel per
+    fit). The Gram accumulates over frame blocks under a scan so only one
+    (3*chunk, R) design block is ever live — 100k-frame,
     thousands-of-atoms sweeps fit in HBM. Returns the (n_cg, N) force-map
-    matrix.
+    matrix and the solver's constraint-violation diagnostic.
     """
     t, n, d = forces.shape
     chunk = t // n_chunks
     blocks = forces.reshape(n_chunks, chunk, n, d)
+    con_mat = jax.nn.one_hot(labels, r, dtype=forces.dtype)  # (N, R)
 
     def body(gram, f_block):
         flat = jnp.swapaxes(f_block, 1, 2).reshape(chunk * d, n)
@@ -100,16 +105,18 @@ def _device_linear_fit(
             None,
         )
 
-    r = con_mat.shape[1]
     gram0 = jnp.zeros((r, r), dtype=forces.dtype)
     gram, _ = jax.lax.scan(body, gram0, blocks)
-    gram = gram + l2_regularization * jnp.matmul(
-        con_mat.T, con_mat, precision="highest"
+    # C^T C is diagonal with the per-column member counts
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), dtype=forces.dtype), labels, num_segments=r
     )
+    gram = gram + l2_regularization * jnp.diag(counts)
     a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
     basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
     x, resid = eqp_solve_auglag(gram, a_mat, basis, return_resid=True)
-    return jnp.matmul(con_mat, x, precision="highest").T, resid
+    # re-expansion C @ x is a row gather
+    return x[labels].T, resid
 
 
 def _host_linear_fit(
@@ -208,18 +215,20 @@ def qp_linear_map(
         pad = chunk * n_chunks - t
         if pad:
             forces_dev = jnp.pad(forces_dev, ((0, pad), (0, 0), (0, 0)))
+        labels, reduced_n = constraint_labels(coord_map.n_fg_sites, constraints)
         fmap_dev, resid_dev = _device_linear_fit(
             forces_dev,
-            jnp.asarray(con_mat, dtype=dtype),
+            jnp.asarray(labels),
             jnp.asarray(coord_map.standard_matrix, dtype=dtype),
             jnp.asarray(l2_regularization, dtype=dtype),
             n_chunks=n_chunks,
+            r=reduced_n,
         )
         fmap_mat, resid_val = jax.device_get((fmap_dev, resid_dev))
         fmap_mat = np.asarray(fmap_mat)
-        if not np.all(np.isfinite(fmap_mat)) or float(resid_val) > opts.get(
+        if not np.all(np.isfinite(fmap_mat)) or not float(resid_val) <= opts.get(
             "resid_tol", 1e-4
-        ):
+        ):  # NaN-aware
             # convergence check failed (non-finite, or equilibrated
             # constraint violation above tolerance — the analogue of OSQP's
             # eps_abs termination + polish in the reference): escalate to
@@ -244,25 +253,37 @@ def qp_linear_map(
     return SeperableTMap(coord_map=coord_map, force_map=force_map)
 
 
-def make_bond_constraint_matrix(n_sites: int, constraints: Constraints) -> np.ndarray:
-    """Duplication matrix C mapping reduced coefficients to per-site ones.
+def constraint_labels(
+    n_sites: int, constraints: Constraints
+) -> Tuple[np.ndarray, int]:
+    """Site -> reduced-coefficient column labels, plus the reduced dimension.
 
-    Sites in the same (merged) constraint group share one reduced degree of
-    freedom; C has a 1 in row ``site`` at the column of that site's reduced
-    coefficient. Unconstrained sites keep their own column. Columns are
-    ordered by each group anchor's position among unconstrained sites
-    (reference qp/qplinear.py:106-164 semantics).
+    The integer form of the duplication matrix C (``C = one_hot(labels)``):
+    sites in the same (merged) constraint group share one column; columns
+    are ordered by each anchor's position among unconstrained sites
+    (reference qp/qplinear.py:106-164 semantics). Device fits upload these
+    4*N bytes and build C on device instead of shipping the dense matrix.
     """
     groups = reduce_constraint_sets(constraints)
     lookup = constraint_lookup_dict(groups)
-    n_removed = sum(len(g) for g in groups)
-    reduced_n = n_sites - n_removed + len(groups)
-    mat = np.zeros((n_sites, reduced_n))
+    labels = np.full(n_sites, -1, dtype=np.int32)
     col = 0
     for site in range(n_sites):
         if site not in lookup:
-            mat[site, col] = 1.0
+            labels[site] = col
             col += 1
     for site, anchor in lookup.items():
-        mat[site, :] = mat[anchor, :]
+        labels[site] = labels[anchor]
+    return labels, col
+
+
+def make_bond_constraint_matrix(n_sites: int, constraints: Constraints) -> np.ndarray:
+    """Duplication matrix C mapping reduced coefficients to per-site ones.
+
+    Dense form of :func:`constraint_labels` (kept for the host/native/mesh
+    paths and reference-parity call sites).
+    """
+    labels, reduced_n = constraint_labels(n_sites, constraints)
+    mat = np.zeros((n_sites, reduced_n))
+    mat[np.arange(n_sites), labels] = 1.0
     return mat

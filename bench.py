@@ -359,6 +359,22 @@ def run_featurized() -> None:
     elapsed = min(times)
     log(f"steady-state fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
 
+    # pipelined (device-only) throughput: many fits queued, ONE host sync —
+    # amortizes the per-call tunnel latency that dominates single-fit wall
+    # clocks on remote-attached devices
+    from aggforce_tpu.qp.fusedfeat import fused_gb_linear_map_batch
+
+    n_batch = 10
+    t0 = time.perf_counter()
+    fused_gb_linear_map_batch(
+        traj, cmap, kbt=kbt, spec=spec, seeds=range(200, 200 + n_batch),
+        constraints=constraints, l2_regularization=1e3, chunk_size=2048,
+    )
+    t_batch = time.perf_counter() - t0
+    pipelined = n_batch * n_frames / t_batch
+    log(f"pipelined batch of {n_batch} fits: {t_batch:.3f}s "
+        f"({t_batch / n_batch * 1e3:.1f} ms/fit, {pipelined:.0f} frames/s)")
+
     # sanity: mapped forces finite, orthogonality approximately satisfied
     sub = slice(0, 256)
     mc, mf = tmap.map_arrays(traj.coords[sub], traj.forces[sub])
@@ -386,6 +402,7 @@ def run_featurized() -> None:
             "tflops": round(tflops, 2),
             "mfu": round(mfu, 4),
             "solver_resid": float(tmap.force_map.tags["solver_resid"]),
+            "pipelined_frames_per_sec": round(pipelined, 2),
         },
     )
 

@@ -274,3 +274,32 @@ def test_fused_fit_short_trajectory_clamps_constraint_frames(waterdimer):
     )
     _, mf = tmap.map_arrays(coords, forces)
     assert np.all(np.isfinite(mf))
+
+
+def test_fused_batch_matches_single(waterdimer):
+    """Pipelined multi-seed fits must equal one-at-a-time fits."""
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:160].astype(np.float32)
+    forces = waterdimer["forces"][:160].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    kw = dict(kbt=0.5, spec=spec, constraints=set(), l2_regularization=1e3)
+    batch = fused_gb_linear_map_batch(traj, cmap, seeds=[3, 4], **kw)
+    assert len(batch) == 2
+    for seed, tmap_b in zip([3, 4], batch):
+        tmap_s = fused_gb_linear_map(
+            traj, cmap, constraint_rng=np.random.default_rng(seed), **kw
+        )
+        _, f_b = tmap_b.map_arrays(coords[:16], forces[:16])
+        _, f_s = tmap_s.map_arrays(coords[:16], forces[:16])
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)

@@ -36,34 +36,50 @@ def test_resid_reported_small_on_easy_problem():
     np.testing.assert_allclose(float(resid), manual, rtol=1e-2, atol=1e-7)
 
 
-def test_batched_resid_is_max_over_batch():
+def test_batched_resid_is_per_problem():
     rng = np.random.default_rng(1)
     probs = [_random_problem(rng) for _ in range(4)]
     P = np.stack([p for p, _, _ in probs])
     A = np.stack([a for _, a, _ in probs])
     B = np.stack([b[:, None] for _, _, b in probs])
-    _, resid = batched_eqp_solve_auglag(P, A, B, return_resid=True)
+    _, resids = batched_eqp_solve_auglag(P, A, B, return_resid=True)
     singles = [
         float(eqp_solve_auglag(p, a, b[:, None], return_resid=True)[1])
         for p, a, b in probs
     ]
-    np.testing.assert_allclose(float(resid), max(singles), rtol=1e-3, atol=1e-7)
+    assert np.asarray(resids).shape == (4,)
+    np.testing.assert_allclose(
+        np.asarray(resids), np.asarray(singles), rtol=1e-3, atol=2e-6
+    )
 
 
-def test_truncated_solver_reports_large_resid():
-    """One dual iteration cannot converge: the diagnostic must say so."""
+def test_infeasible_constraints_report_large_resid():
+    """Near-parallel constraint rows with inconsistent targets cannot be
+    satisfied; the diagnostic must report the violation honestly (this is
+    what triggers float64 escalation upstream) while consistent duplicated
+    rows stay exactly solvable."""
     rng = np.random.default_rng(2)
-    P, A, b = _random_problem(rng)
-    _, resid1 = eqp_solve_auglag(P, A, b[:, None], iters=1, return_resid=True)
-    _, resid40 = eqp_solve_auglag(P, A, b[:, None], iters=40, return_resid=True)
-    assert float(resid1) > 10 * float(resid40)
-    assert float(resid1) > 1e-4
+    n, m = 24, 6
+    F = rng.normal(size=(200, n))
+    P = (F.T @ F / 200).astype(np.float32)
+    base = rng.normal(size=n)
+    A = np.stack(
+        [base + 1e-6 * rng.normal(size=n) for _ in range(m)]
+    ).astype(np.float32)
+    b_bad = rng.normal(size=(m, 1)).astype(np.float32)
+    x, resid = eqp_solve_auglag(P, A, b_bad, return_resid=True)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert float(resid) > 1e-2  # finite-but-wrong: diagnostic must say so
+
+    b_ok = np.full((m, 1), 0.7, dtype=np.float32)  # consistent targets
+    _, resid_ok = eqp_solve_auglag(P, A, b_ok, return_resid=True)
+    assert float(resid_ok) < 1e-4
 
 
 @pytest.mark.jax
 def test_fused_fit_escalates_unconverged_solve(cln_fixture_module, cln_ca_map_module):
-    """A deliberately truncated device solve must trigger the f64 fallback
-    and still produce a correct map (matches the fully converged fit)."""
+    """A device solve flagged unconverged must trigger the f64 fallback and
+    still produce a correct map (matches the normal device fit)."""
     fix, cmap = cln_fixture_module, cln_ca_map_module
     traj = Trajectory(coords=fix["coords"][:512], forces=fix["forces"][:512])
     spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=5, width=1.0)
@@ -74,18 +90,20 @@ def test_fused_fit_escalates_unconverged_solve(cln_fixture_module, cln_ca_map_mo
         l2_regularization=1e3,
         constraint_rng=np.random.default_rng(5),
     )
-    # solver_iters=1 leaves resid >> tol -> escalation path
-    tmap_esc = fused_gb_linear_map(traj, cmap, solver_iters=1, **kw)
+    # resid_tol=-1 declares every device solve unconverged -> escalation
+    tmap_esc = fused_gb_linear_map(traj, cmap, resid_tol=-1.0, **kw)
     assert tmap_esc.force_map.tags["solver_resid"] < 1e-6  # f64 achieved
-    tmap_ref = fused_gb_linear_map(traj, cmap, solver_iters=40, **kw)
-    # the Gram is near-flat along regularized directions, so compare the
-    # physical output (mapped forces), not raw coefficients
+    tmap_ref = fused_gb_linear_map(traj, cmap, **kw)
+    # the Gram is near-flat along regularized directions (and the f32 and
+    # f64 paths regularize those modes with different deltas), so compare
+    # the physical output (mapped forces) at the ~1% level the weak modes
+    # allow, not raw coefficients
     sub = slice(0, 128)
     _, f_esc = tmap_esc.map_arrays(fix["coords"][sub], fix["forces"][sub])
     _, f_ref = tmap_ref.map_arrays(fix["coords"][sub], fix["forces"][sub])
     rms = np.sqrt(np.mean((np.asarray(f_esc) - np.asarray(f_ref)) ** 2))
     scale = np.sqrt(np.mean(np.asarray(f_ref) ** 2))
-    assert rms < 1e-3 * scale
+    assert rms < 1e-2 * scale
 
 
 @pytest.mark.jax
