@@ -21,16 +21,27 @@ ArrT = TypeVar("ArrT", NDArray, jax.Array)
 
 
 @partial(jax.jit, static_argnames="nan_handling")
-def _dual_fill_trjdot(
+def _checked_trjdot(
     factor: jax.Array, points: jax.Array, nan_handling: bool
 ) -> Tuple[jax.Array, jax.Array]:
-    """Map once with NaN->0 and once with NaN->1; equality implies safety."""
+    """Map with NaN->0 fill plus an exact participation-masked NaN verdict.
+
+    Semantics match the reference's dual-fill protocol (a NaN is an error
+    iff it touches a nonzero map weight; map/jaxlinearmap.py:14-39) but the
+    verdict is computed directly — ``any(isnan(points) & participating)`` —
+    instead of comparing two differently-filled matmuls. The comparison
+    form is unsound on TPU: XLA may schedule the two matmuls with
+    different reduction orders, and at thousands-of-atoms contraction
+    sizes the f32 order noise exceeds any fixed atol, flagging phantom
+    NaNs on perfectly finite data (observed at N=3000).
+    """
     if nan_handling:
-        zero_fill = jtrjdot(jnp.nan_to_num(points, nan=0.0), factor)
-        probe_fill = jtrjdot(jnp.nan_to_num(points, nan=1.0), factor)
-        return zero_fill, probe_fill
+        result = jtrjdot(jnp.nan_to_num(points, nan=0.0), factor)
+        participating = jnp.any(factor != 0.0, axis=0)  # (n_fg,)
+        bad = jnp.any(jnp.isnan(points) & participating[None, :, None])
+        return result, bad
     result = jtrjdot(points, factor)
-    return result, result
+    return result, jnp.asarray(False)
 
 
 class JLinearMap(LinearMap):
@@ -57,13 +68,13 @@ class JLinearMap(LinearMap):
         """Apply the map; input library and dtype discipline preserved."""
         numpy_input = isinstance(points, np.ndarray)
         jpoints = jnp.asarray(points) if numpy_input else points
-        result, probe = _dual_fill_trjdot(
+        result, bad = _checked_trjdot(
             factor=self._jax_standard_matrix,
             points=jpoints,
             nan_handling=bool(self.handle_nans),
         )
         if self.handle_nans and not self.bypass_nan_check:
-            if not jnp.allclose(result, probe, atol=self.nan_check_threshold):
+            if bool(bad):
                 raise ValueError(
                     "NaN handling is on and multiplication tried to use a NaN "
                     "value. Check the input array and standard_matrix."

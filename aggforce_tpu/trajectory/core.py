@@ -178,8 +178,15 @@ class AugmentedTrajectory(Trajectory):
         Type-preserving: device (jax) inputs concatenate on device, so the
         noised-map pipelines never round-trip trajectory-sized arrays through
         the host (the reference concatenates with numpy,
-        trajectory/core.py:353-390).
+        trajectory/core.py:353-390). Augmenters exposing ``fused_augment``
+        (JCondNormal on device inputs) emit the extended arrays in ONE
+        device dispatch.
         """
+        fused = getattr(self.augmenter, "fused_augment", None)
+        if fused is not None:
+            result = fused(coords, forces, self.kbt)
+            if result is not None:
+                return result
         aug_coords = self.augmenter.sample(coords)
         real_corr, aug_lgrad = self.augmenter.log_gradient(coords, aug_coords)
         xp = _array_namespace(coords, aug_coords)

@@ -131,6 +131,43 @@ def _scalar_sample(
     return means + jnp.sqrt(var) * eps
 
 
+@partial(jax.jit, static_argnames=("premap",))
+def _scalar_fused_augment(
+    key: jax.Array,
+    coords: jax.Array,  # (T, N, 3)
+    forces: jax.Array,  # (T, N, 3)
+    var: jax.Array,
+    kbt: jax.Array,
+    premap: Callable[[jax.Array], jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample + log-gradients + extended-array assembly in ONE program.
+
+    The piecewise path (sample, log_gradient, two concatenations, the
+    thermal force arithmetic) dispatches ~6 device programs per
+    augmentation; on remote-attached devices each dispatch carries
+    transport latency, so noised-map fits pay several round-trips before
+    the QP even starts. This kernel emits the full AugmentedTrajectory
+    arrays ([x | y], [f + kbt*grad_x log g | kbt*grad_y log g]) in one
+    dispatch. Scalar (isotropic) covariance only — the closed-form
+    log-gradient case.
+    """
+    t, n, _ = coords.shape
+    flat = coords.reshape(t, n * 3)
+    means, vjp = jax.vjp(premap, flat)
+    eps = jrandom.normal(key, means.shape, dtype=means.dtype)
+    flat_aug = means + jnp.sqrt(var) * eps
+    resid = (flat_aug - means) / var  # = sqrt(var) eps / var
+    (source_grad,) = vjp(resid)
+    aug_coords = flat_aug.reshape(t, -1, 3)
+    src_lgrad = source_grad.reshape(t, n, 3)
+    gen_lgrad = (-resid).reshape(t, -1, 3)
+    full_coords = jnp.concatenate([coords, aug_coords], axis=1)
+    full_forces = jnp.concatenate(
+        [forces + kbt * src_lgrad, kbt * gen_lgrad], axis=1
+    )
+    return full_coords, full_forces
+
+
 class JCondNormal(Augmenter):
     r"""Gaussian augmenter g(y|x) = N(y; premap(x), E) on JAX arrays.
 
@@ -256,6 +293,37 @@ class JCondNormal(Augmenter):
             np.asarray(post, dtype=self.dtype),
             np.asarray(variate_lgrad, dtype=self.dtype),
         )
+
+    def fused_augment(
+        self, coords, forces, kbt: float
+    ) -> Optional[Tuple[jax.Array, jax.Array]]:
+        """One-dispatch augmentation (sample + log-gradients + assembly).
+
+        Returns the extended (coords, forces) pair for device (jax) inputs
+        with scalar covariance and identity source_postmap — the
+        ``joptgauss_map`` hot path — or None when the piecewise path must
+        be used. Draw-for-draw identical to sample() + log_gradient()
+        (same single PRNG split, same noise realization).
+        """
+        if not self._scalar_cov or self.source_postmap is not _ident:
+            return None
+        if not isinstance(coords, jax.Array) or not isinstance(
+            forces, jax.Array
+        ):
+            return None
+        self._rkey, subkey = jrandom.split(self._rkey)
+        full_coords, full_forces = _scalar_fused_augment(
+            subkey,
+            coords.astype(self.dtype),
+            forces.astype(self.dtype),
+            jnp.asarray(self._cov, dtype=self.dtype),
+            jnp.asarray(kbt, dtype=self.dtype),
+            self.premap,
+        )
+        if self.cov is None:
+            d = (full_coords.shape[1] - coords.shape[1]) * self.n_dim
+            self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self.dtype))
+        return full_coords, full_forces
 
     def _cholesky(self) -> jax.Array:
         if self._chol is None:

@@ -114,3 +114,52 @@ def test_stagedjopt_device_end_to_end(small_system):
     assert isinstance(out.coords, jax.Array)
     assert isinstance(out.forces, jax.Array)
     assert np.all(np.isfinite(np.asarray(out.forces)))
+
+
+def test_fused_augment_matches_piecewise(small_system):
+    """The one-dispatch augmentation must be draw-for-draw identical to
+    sample() + log_gradient() from the same RNG state."""
+    coords, forces, cmap = small_system
+    premap = JLinearMap.from_linearmap(cmap, bypass_nan_check=True).flat_call
+    kbt = 0.7
+    dev_c, dev_f = jnp.asarray(coords), jnp.asarray(forces)
+
+    aug_a = JCondNormal(cov=0.5, premap=premap, seed=9)
+    fused = aug_a.fused_augment(dev_c, dev_f, kbt)
+    assert fused is not None
+    fc, ff = fused
+
+    aug_b = JCondNormal(cov=0.5, premap=premap, seed=9)
+    y = aug_b.sample(dev_c)
+    gx, gy = aug_b.log_gradient(dev_c, y)
+    exp_c = jnp.concatenate([dev_c, y], axis=1)
+    exp_f = jnp.concatenate([dev_f + kbt * gx, kbt * gy], axis=1)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(exp_c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(exp_f), atol=1e-5)
+
+    # piecewise-only cases return None (host input; postmap; matrix cov)
+    assert aug_a.fused_augment(coords, forces, kbt) is None
+    aug_pm = JCondNormal(cov=0.5, premap=premap, source_postmap=lambda x: x, seed=9)
+    assert aug_pm.fused_augment(dev_c, dev_f, kbt) is None
+
+
+def test_augmented_trajectory_uses_fused_path(small_system, monkeypatch):
+    """AugmentedTrajectory must route device inputs through fused_augment."""
+    coords, forces, cmap = small_system
+    premap = JLinearMap.from_linearmap(cmap, bypass_nan_check=True).flat_call
+    aug = JCondNormal(cov=0.5, premap=premap, seed=1)
+    calls = []
+    orig = aug.fused_augment
+
+    def spy(c, f, kbt):
+        out = orig(c, f, kbt)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(aug, "fused_augment", spy)
+    traj = AugmentedTrajectory(
+        coords=jnp.asarray(coords), forces=jnp.asarray(forces),
+        augmenter=aug, kbt=0.7,
+    )
+    assert calls == [True]
+    assert isinstance(traj.coords, jax.Array)

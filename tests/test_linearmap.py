@@ -160,3 +160,32 @@ def test_jaxify_linearmap(rng):
         lm(pts).reshape(5, 6)[0],
         atol=1e-5,
     )
+
+
+def test_nan_verdict_is_exact_not_comparative():
+    """The NaN check must key on actual NaN participation, not on comparing
+    two matmuls (which differ by reduction-order noise at large N on TPU —
+    the phantom-NaN false positive found at sweep scale)."""
+    import jax.numpy as jnp
+
+    from aggforce_tpu.map import JLinearMap
+
+    rng = np.random.default_rng(0)
+    n = 512
+    mat = np.zeros((4, n), dtype=np.float32)
+    mat[:, : n // 2] = rng.normal(size=(4, n // 2))  # back half non-participating
+    m = JLinearMap(mat)
+    pts = rng.normal(size=(8, n, 3)).astype(np.float32)
+
+    out = m(jnp.asarray(pts))  # finite input: must not raise
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    bad = pts.copy()
+    bad[0, 5, 0] = np.nan  # participating site -> must raise
+    with pytest.raises(ValueError):
+        m(jnp.asarray(bad))
+
+    benign = pts.copy()
+    benign[0, n - 1, 0] = np.nan  # zero-weight site -> tolerated
+    out = m(jnp.asarray(benign))
+    assert np.all(np.isfinite(np.asarray(out)))
