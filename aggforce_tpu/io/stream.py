@@ -1,0 +1,299 @@
+"""Streaming force-map fits: chunked disk -> host -> device pipelines.
+
+The reference loads whole trajectories into numpy before fitting (its tests
+np.load everything; reference has no IO subsystem). Fits here only ever need
+one frame chunk live — every optimization in this package reduces to a
+Gram accumulated over frames plus a tiny solve — so this module streams
+chunks from memory-mapped files (or any chunk source) through the device:
+
+    disk (np.memmap) -> host chunk -> H2D -> jitted Gram update -> discard
+
+All device work is dispatched asynchronously: while the device reduces
+chunk k, the host is already slicing and uploading chunk k+1, so disk/H2D
+latency overlaps compute. Peak host memory is one chunk; peak HBM is one
+chunk plus the running Gram. A 1M-frame x 3000-atom trajectory (108 GB)
+fits through a chip with 16 GB of HBM.
+
+Numerical contract: streamed fits produce bit-comparable results to the
+in-memory fits (same chunked Gram order when chunk sizes match) and run
+through the same convergence-checked solvers.
+"""
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import Constraints
+from ..map import CLAFTMap, JLinearMap, LinearMap, SeperableTMap
+from ..ops.eqp import eqp_solve_auglag
+from ..qp.fusedfeat import (
+    GBFeatSpec,
+    _constraint_rows,
+    _package_fused_map,
+    _prepare_fused_setup,
+    _scan_gram,
+)
+from ..qp.qplinear import constraint_labels
+from ..trajectory import Trajectory
+
+
+class TrajectoryStream:
+    """Chunked view of a trajectory: iterate (coords, forces) frame blocks.
+
+    Sources:
+      * ``TrajectoryStream.from_arrays(coords, forces)`` — any array pair
+        (numpy, memmap, or jax); chunks are views/slices.
+      * ``TrajectoryStream.from_npy(coords_path, forces_path)`` — .npy files
+        opened with ``mmap_mode="r"`` so only touched chunks hit RAM.
+
+    ``chunk_size`` bounds the live block. ``n_frames``/``n_sites`` are known
+    up front (needed for constraint-frame sampling and score denominators).
+    """
+
+    def __init__(self, coords, forces, chunk_size: int = 4096) -> None:
+        if coords.shape != forces.shape:
+            raise ValueError("coords and forces must have the same shape.")
+        if coords.ndim != 3:
+            raise ValueError("expected (n_frames, n_sites, n_dim) arrays.")
+        self.coords = coords
+        self.forces = forces
+        self.chunk_size = int(chunk_size)
+
+    @classmethod
+    def from_arrays(cls, coords, forces, chunk_size: int = 4096):
+        """Wrap in-memory (or already-memmapped) arrays."""
+        return cls(coords, forces, chunk_size)
+
+    @classmethod
+    def from_npy(
+        cls, coords_path: str, forces_path: str, chunk_size: int = 4096
+    ):
+        """Memory-map two .npy files; chunks are read lazily from disk."""
+        return cls(
+            np.load(coords_path, mmap_mode="r"),
+            np.load(forces_path, mmap_mode="r"),
+            chunk_size,
+        )
+
+    @property
+    def n_frames(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_sites(self) -> int:
+        return self.coords.shape[1]
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def chunks(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yield (coords_chunk, forces_chunk, n_valid) uniform blocks.
+
+        Every yielded block has exactly ``chunk_size`` frames (the last one
+        zero-padded; ``n_valid`` counts real frames) so the device update
+        compiles once.
+        """
+        c = self.chunk_size
+        for start in range(0, self.n_frames, c):
+            cc = np.asarray(self.coords[start : start + c])
+            fc = np.asarray(self.forces[start : start + c])
+            n_valid = cc.shape[0]
+            if n_valid < c:
+                pad = ((0, c - n_valid), (0, 0), (0, 0))
+                cc = np.pad(cc, pad)
+                fc = np.pad(fc, pad)
+            yield cc, fc, n_valid
+
+    def gather_frames(self, frame_idx: np.ndarray) -> np.ndarray:
+        """Fetch specific frames' coordinates (host side, small)."""
+        return np.stack([np.asarray(self.coords[int(i)]) for i in frame_idx])
+
+
+def qp_linear_map_streamed(
+    stream: TrajectoryStream,
+    coord_map: LinearMap,
+    constraints: Optional[Constraints] = None,
+    l2_regularization: float = 0.0,
+    resid_tol: float = 1e-4,
+) -> SeperableTMap:
+    """Streamed :func:`aggforce_tpu.qp.qp_linear_map` (device backend).
+
+    Accumulates the reduced force Gram chunk-by-chunk on device; only one
+    chunk is ever resident. Identical optimization to the in-memory fit.
+    """
+    from ..qp.qplinear import make_bond_constraint_matrix
+
+    if constraints is None:
+        constraints = set()
+    labels_np, r = constraint_labels(coord_map.n_fg_sites, constraints)
+    labels = jnp.asarray(labels_np)
+    dtype = jnp.float32
+    n = coord_map.n_fg_sites
+
+    @jax.jit
+    def update(gram, forces_chunk, mask):
+        con = jax.nn.one_hot(labels, r, dtype=dtype)
+        f = forces_chunk * mask[:, None, None]
+        t, _, d = f.shape
+        flat = jnp.swapaxes(f, 1, 2).reshape(t * d, n)
+        design = jnp.matmul(flat, con, precision="highest")
+        return gram + jnp.matmul(design.T, design, precision="highest")
+
+    gram = jnp.zeros((r, r), dtype=dtype)
+    c = stream.chunk_size
+    for cc, fc, n_valid in stream.chunks():
+        mask = jnp.asarray(
+            np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
+            dtype=dtype,
+        )
+        gram = update(gram, jnp.asarray(fc, dtype=dtype), mask)
+
+    @jax.jit
+    def solve(gram):
+        con = jax.nn.one_hot(labels, r, dtype=dtype)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n,), dtype=dtype), labels, num_segments=r
+        )
+        g = gram + jnp.asarray(l2_regularization, dtype) * jnp.diag(counts)
+        a_mat = jnp.matmul(
+            jnp.asarray(coord_map.standard_matrix, dtype), con,
+            precision="highest",
+        )
+        basis = jnp.eye(a_mat.shape[0], dtype=dtype)
+        x, resid = eqp_solve_auglag(g, a_mat, basis, return_resid=True)
+        return x[labels].T, resid
+
+    fmap_dev, resid_dev = solve(gram)
+    fmap_mat, resid_val = jax.device_get((fmap_dev, resid_dev))
+    fmap_mat = np.asarray(fmap_mat)
+    if not np.all(np.isfinite(fmap_mat)) or not float(resid_val) <= resid_tol:
+        # escalation needs the float64 Gram too: one more streamed pass on
+        # host (rare path; correctness over speed)
+        con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
+        gram64 = np.zeros((r, r))
+        for cc, fc, n_valid in stream.chunks():
+            f = np.asarray(fc[:n_valid], dtype=np.float64)
+            flat = np.swapaxes(f, 1, 2).reshape(-1, n)
+            design = flat @ con_mat
+            gram64 += design.T @ design
+        fmap_mat = _host_linear_fit_from_gram(
+            gram64, con_mat, coord_map, l2_regularization
+        )
+    force_map = JLinearMap(fmap_mat.astype(np.float32))
+    return SeperableTMap(
+        coord_map=JLinearMap.from_linearmap(coord_map), force_map=force_map
+    )
+
+
+def _host_linear_fit_from_gram(
+    gram64: np.ndarray,
+    con_mat: np.ndarray,
+    coord_map: LinearMap,
+    l2_regularization: float,
+) -> np.ndarray:
+    from ..ops.eqp import eqp_solve_host
+
+    if l2_regularization > 0.0:
+        gram64 = gram64 + l2_regularization * (con_mat.T @ con_mat)
+    a_mat = np.asarray(coord_map.standard_matrix, dtype=np.float64) @ con_mat
+    x = eqp_solve_host(gram64, a_mat, np.eye(a_mat.shape[0]))
+    return (con_mat @ x).T
+
+
+def fused_gb_linear_map_streamed(
+    stream: TrajectoryStream,
+    coord_map: LinearMap,
+    kbt: float,
+    spec: GBFeatSpec,
+    constraints: Optional[Constraints] = None,
+    n_constraint_frames: int = 20,
+    l2_regularization: float = 1e1,
+    constraint_rng: Optional[np.random.Generator] = None,
+    resid_tol: float = 1e-4,
+) -> CLAFTMap:
+    """Streamed canonical featurized fit (id_feat + gb_feat).
+
+    Same optimization as :func:`aggforce_tpu.qp.fusedfeat.fused_gb_linear_map`
+    with per-site Grams accumulated chunk-by-chunk — the trajectory never
+    needs to fit in host RAM or HBM. Constraint frames are sampled up front
+    from the stream's frame count and gathered from disk directly.
+    """
+    if constraints is None:
+        constraints = set()
+    # group factorization needs only the coordinate-map structure; reuse the
+    # shared setup on a placeholder 1-frame trajectory
+    head_c, head_f, _ = next(iter(stream.chunks()))
+    placeholder = Trajectory(coords=head_c[:1], forces=head_f[:1])
+    setup = _prepare_fused_setup(
+        placeholder, coord_map, spec, constraints, stream.chunk_size, None,
+        False,
+    )
+    onehot, group_mean, counts, centers = (
+        setup["onehot"], setup["group_mean"], setup["counts"],
+        setup["centers"],
+    )
+    dtype = jnp.float32
+    cmap_mat = jnp.asarray(coord_map.standard_matrix, dtype)
+    gm = jnp.asarray(group_mean)
+    oh = jnp.asarray(onehot)
+    ct = jnp.asarray(counts, dtype)
+    cen = jnp.asarray(centers)
+    kbt_dev = jnp.asarray(kbt, dtype)
+
+    @jax.jit
+    def update(gram, coords_chunk, forces_chunk, mask):
+        contrib = _scan_gram(
+            coords_chunk, forces_chunk, mask, cmap_mat, gm, oh, ct, cen,
+            kbt_dev, spec, 1,
+        )
+        return gram + contrib
+
+    s_dim = coord_map.n_cg_sites
+    g = onehot.shape[1]
+    k_exp = g * spec.n_basis + (g if spec.include_id else 0)
+    gram = jnp.zeros((s_dim, k_exp, k_exp), dtype=dtype)
+    c = stream.chunk_size
+    for cc, fc, n_valid in stream.chunks():
+        mask = jnp.asarray(
+            np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
+            dtype=dtype,
+        )
+        gram = update(
+            gram, jnp.asarray(cc, dtype=dtype), jnp.asarray(fc, dtype=dtype),
+            mask,
+        )
+    gram = gram + jnp.asarray(l2_regularization, dtype) * jnp.eye(
+        k_exp, dtype=dtype
+    )
+
+    rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
+    n_cf = min(n_constraint_frames, stream.n_frames)
+    frame_idx = rng.choice(stream.n_frames, size=n_cf, replace=False)
+    constr_coords = jnp.asarray(stream.gather_frames(frame_idx), dtype=dtype)
+
+    @jax.jit
+    def finish(gram, constr_coords):
+        cg = jnp.einsum(
+            "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+        )
+        a_rows = _constraint_rows(
+            constr_coords, cg, cmap_mat, gm, oh, ct, cen, spec
+        )
+        eye = jnp.eye(s_dim, dtype=dtype)
+        b = jnp.broadcast_to(
+            eye[:, None, :], (s_dim, constr_coords.shape[0], s_dim)
+        ).reshape(s_dim, -1)
+        from ..ops.eqp import batched_eqp_solve_auglag
+
+        coefs, resids = batched_eqp_solve_auglag(
+            gram, a_rows, b[..., None], return_resid=True
+        )
+        return coefs[..., 0], jnp.max(resids), a_rows, b
+
+    coefs, resid, a_rows, b = finish(gram, constr_coords)
+    return _package_fused_map(
+        coefs, resid, gram, a_rows, b, coord_map, onehot, centers, kbt,
+        spec, resid_tol,
+    )

@@ -1,0 +1,87 @@
+"""Streaming (chunked disk -> device) fits vs the in-memory fits."""
+
+import numpy as np
+import pytest
+
+from aggforce_tpu.io import (
+    TrajectoryStream,
+    fused_gb_linear_map_streamed,
+    qp_linear_map_streamed,
+)
+from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+from aggforce_tpu.qp.qplinear import qp_linear_map
+from aggforce_tpu.trajectory import Trajectory
+
+
+@pytest.fixture(scope="module")
+def stream_fixture(cln_fixture_module, cln_ca_map_module):
+    fix = cln_fixture_module
+    coords = fix["coords"][:700].astype(np.float32)
+    forces = fix["forces"][:700].astype(np.float32)
+    return coords, forces, cln_ca_map_module, set(fix["constraint_groups"])
+
+
+def test_stream_chunks_cover_all_frames(stream_fixture):
+    coords, forces, _, _ = stream_fixture
+    s = TrajectoryStream.from_arrays(coords, forces, chunk_size=256)
+    total = 0
+    for cc, fc, n_valid in s.chunks():
+        assert cc.shape[0] == 256  # uniform blocks (padded tail)
+        total += n_valid
+    assert total == 700
+
+
+def test_streamed_linear_matches_in_memory(stream_fixture):
+    coords, forces, cmap, constraints = stream_fixture
+    stream = TrajectoryStream.from_arrays(coords, forces, chunk_size=256)
+    t_stream = qp_linear_map_streamed(stream, cmap, constraints=constraints)
+    t_mem = qp_linear_map(
+        Trajectory(coords=coords, forces=forces), cmap, constraints=constraints
+    )
+    np.testing.assert_allclose(
+        t_stream.force_map.standard_matrix,
+        t_mem.force_map.standard_matrix,
+        atol=5e-5,
+    )
+
+
+def test_streamed_linear_from_npy(tmp_path, stream_fixture):
+    """Memory-mapped .npy source: only chunks are read, results identical."""
+    coords, forces, cmap, constraints = stream_fixture
+    cp, fp = tmp_path / "c.npy", tmp_path / "f.npy"
+    np.save(cp, coords)
+    np.save(fp, forces)
+    stream = TrajectoryStream.from_npy(str(cp), str(fp), chunk_size=192)
+    assert isinstance(stream.coords, np.memmap)
+    t_stream = qp_linear_map_streamed(stream, cmap, constraints=constraints)
+    t_mem = qp_linear_map(
+        Trajectory(coords=coords, forces=forces), cmap, constraints=constraints
+    )
+    np.testing.assert_allclose(
+        t_stream.force_map.standard_matrix,
+        t_mem.force_map.standard_matrix,
+        atol=5e-5,
+    )
+
+
+def test_streamed_featurized_matches_in_memory(stream_fixture):
+    coords, forces, cmap, constraints = stream_fixture
+    spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=5, width=1.0)
+    kbt = 0.6955215
+    stream = TrajectoryStream.from_arrays(coords, forces, chunk_size=256)
+    t_stream = fused_gb_linear_map_streamed(
+        stream, cmap, kbt=kbt, spec=spec, constraints=constraints,
+        l2_regularization=1e3, constraint_rng=np.random.default_rng(3),
+    )
+    t_mem = fused_gb_linear_map(
+        Trajectory(coords=coords, forces=forces), cmap, kbt=kbt, spec=spec,
+        constraints=constraints, l2_regularization=1e3,
+        constraint_rng=np.random.default_rng(3),
+    )
+    sub = slice(0, 64)
+    _, f_s = t_stream.map_arrays(coords[sub], forces[sub])
+    _, f_m = t_mem.map_arrays(coords[sub], forces[sub])
+    rms = np.sqrt(np.mean((np.asarray(f_s) - np.asarray(f_m)) ** 2))
+    scale = np.sqrt(np.mean(np.asarray(f_m) ** 2))
+    assert rms < 1e-3 * scale
+    assert t_stream.force_map.tags["solver_resid"] < 1e-4
