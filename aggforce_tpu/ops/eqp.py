@@ -115,15 +115,20 @@ def eqp_solve_auglag(
     # minimizer of x^T P x s.t. Ax = b is unchanged by adding rho|Ax|^2.
     M = Pn + rho * jnp.matmul(An.T, An, precision="highest")
     eye = jnp.eye(n, dtype=dtype)
-    chol_small = jsl.cho_factor(M + jnp.asarray(delta, dtype) * eye, lower=True)
-    chol_big = jsl.cho_factor(
-        M + jnp.asarray(delta_fallback, dtype) * eye, lower=True
+    # both regularization levels factorize in ONE batched Cholesky: the
+    # fallback is computed anyway (no data-dependent control flow under
+    # jit), and one kernel instance instead of two nearly halves the
+    # Cholesky share of the program's backend compile time — a first-class
+    # cost on remote-compile backends (each big executable is seconds to
+    # build/load, and this solver is embedded in every fit program)
+    shifts = jnp.stack(
+        [jnp.asarray(delta, dtype), jnp.asarray(delta_fallback, dtype)]
     )
-    ok = jnp.isfinite(chol_small[0]).all()
-    chol = (
-        jnp.where(ok, chol_small[0], chol_big[0]),
-        chol_small[1],
-    )
+    chols = jax.vmap(
+        lambda s: jsl.cho_factor(M + s * eye, lower=True)[0]
+    )(shifts)
+    ok = jnp.isfinite(chols[0]).all()
+    chol = (jnp.where(ok, chols[0], chols[1]), True)
     # Z = M^{-1} A^T via ONE multi-RHS triangular solve pair — on TPU the
     # sequential substitution cost amortizes over the m right-hand sides,
     # unlike a triangular solve per dual iteration (~1.4 ms each, measured
@@ -145,21 +150,23 @@ def eqp_solve_auglag(
     S = 0.5 * (S + S.T)
     eye_m = jnp.eye(m, dtype=dtype)
     s_scale = jnp.trace(S) / m + jnp.asarray(1e-30, dtype)
-    sc_small = jsl.cho_factor(
-        S + (jnp.asarray(delta, dtype) * s_scale) * eye_m, lower=True
+    # all three shift levels in one batched factorization (see above)
+    s_shifts = s_scale * jnp.stack(
+        [
+            jnp.asarray(delta, dtype),
+            jnp.asarray(delta_fallback, dtype),
+            jnp.asarray(3e-2, dtype),
+        ]
     )
-    sc_mid = jsl.cho_factor(
-        S + (jnp.asarray(delta_fallback, dtype) * s_scale) * eye_m, lower=True
-    )
-    sc_big = jsl.cho_factor(
-        S + jnp.asarray(3e-2, dtype) * s_scale * eye_m, lower=True
-    )
-    ok_small = jnp.isfinite(sc_small[0]).all()
-    ok_mid = jnp.isfinite(sc_mid[0]).all()
+    schols = jax.vmap(
+        lambda s: jsl.cho_factor(S + s * eye_m, lower=True)[0]
+    )(s_shifts)
+    ok_small = jnp.isfinite(schols[0]).all()
+    ok_mid = jnp.isfinite(schols[1]).all()
     l_sel = jnp.where(
-        ok_small, sc_small[0], jnp.where(ok_mid, sc_mid[0], sc_big[0])
+        ok_small, schols[0], jnp.where(ok_mid, schols[1], schols[2])
     )
-    chol_s = (l_sel, sc_small[1])
+    chol_s = (l_sel, True)
 
     lam = jsl.cho_solve(chol_s, Bn)
     x = jnp.matmul(Z, lam, precision="highest")

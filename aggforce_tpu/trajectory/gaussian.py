@@ -32,6 +32,7 @@ import jax.random as jrandom
 import numpy as np
 from numpy.typing import DTypeLike
 
+from ..ops.jaxcore import trjdot as jtrjdot_g
 from .augment import Augmenter
 
 _UNSET: Final = object()
@@ -51,6 +52,43 @@ def _is_close_to_ident(c: Callable) -> bool:
     if isinstance(c, LinearMap):
         return c.close_to_identity()
     return c is _ident
+
+
+def _linear_flatcall_matrix(premap: Callable) -> Optional[jax.Array]:
+    """Site matrix of a bound ``LinearMap.flat_call``, if ``premap`` is one.
+
+    Noised-map builders pass ``JLinearMap(...).flat_call`` as the premap
+    (e.g. :func:`aggforce_tpu.qp.jgauss.joptgauss_map`). As a *callable* that
+    premap would have to be a static jit argument — and every fit constructs
+    a fresh bound method, so each fit would retrace and re-lower the
+    augmentation program (through the remote compile service that is
+    hundreds of ms per call even on a cache hit). Detecting the underlying
+    matrix lets the kernels take it as a traced operand instead: one
+    compiled program serves every linear premap of matching shape.
+    """
+    from ..map import LinearMap  # local import avoids a circular dependency
+
+    owner = getattr(premap, "__self__", None)
+    if owner is None or not isinstance(owner, LinearMap):
+        return None
+    if getattr(premap, "__func__", None) is not LinearMap.flat_call:
+        return None
+    if owner.handle_nans and not getattr(owner, "bypass_nan_check", False):
+        # a NaN-checking map cannot run under jit anyway (the verdict is a
+        # host-side bool); keep the legacy path so it raises as before
+        return None
+    return jnp.asarray(owner.standard_matrix)
+
+
+def _linear_map_matrix(postmap: Callable) -> Optional[jax.Array]:
+    """Site matrix of a LinearMap used as a rank-3 map (source_postmap)."""
+    from ..map import LinearMap
+
+    if not isinstance(postmap, LinearMap):
+        return None
+    if postmap.handle_nans and not getattr(postmap, "bypass_nan_check", False):
+        return None
+    return jnp.asarray(postmap.standard_matrix)
 
 
 class SimpleCondNormal(Augmenter):
@@ -131,16 +169,71 @@ def _scalar_sample(
     return means + jnp.sqrt(var) * eps
 
 
-@partial(jax.jit, static_argnames=("premap",))
-def _scalar_fused_augment(
+@jax.jit
+def _mat_sample(
+    key: jax.Array,
+    coords: jax.Array,  # (T, N, 3)
+    var: jax.Array,
+    pmat: Optional[jax.Array],  # (C, N) site matrix, or None = identity
+) -> jax.Array:
+    """Scalar-cov sampling with the (linear) premap as a traced operand.
+
+    ``pmat=None`` (an empty pytree leaf, part of the jit cache key's
+    structure) is the identity premap. Noise is drawn in the flattened
+    layout so draws are bit-identical to the legacy flat kernels.
+    """
+    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    t, c, d = means.shape
+    eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
+    return means + jnp.sqrt(var) * eps
+
+
+@jax.jit
+def _mat_lgrads(
+    coords: jax.Array,
+    generated: jax.Array,
+    var: jax.Array,
+    pmat: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form scalar-cov log-gradients, linear premap as operand.
+
+    grad_y log g = -(y - Mx)/var; grad_x log g = M^T (y - Mx)/var (the VJP
+    of a linear premap is its transpose).
+    """
+    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    resid = (generated - means) / var
+    src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
+    return src, -resid
+
+
+@jax.jit
+def _mat_matrix_lgrads(
+    coords: jax.Array,
+    generated: jax.Array,
+    chol: jax.Array,
+    pmat: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-covariance log-gradients, linear premap as operand."""
+    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    t, c, d = means.shape
+    resid = (generated - means).reshape(t, c * d)
+    w = jax.scipy.linalg.cho_solve((chol, True), resid.T).T
+    w3 = w.reshape(t, c, d)
+    src = w3 if pmat is None else jtrjdot_g(w3, pmat.T)
+    return src, -w3
+
+
+@jax.jit
+def _mat_fused_augment(
     key: jax.Array,
     coords: jax.Array,  # (T, N, 3)
     forces: jax.Array,  # (T, N, 3)
     var: jax.Array,
     kbt: jax.Array,
-    premap: Callable[[jax.Array], jax.Array],
+    pmat: Optional[jax.Array],  # (C, N) or None = identity premap
+    postmat: Optional[jax.Array],  # (N', N) or None = identity postmap
 ) -> Tuple[jax.Array, jax.Array]:
-    """Sample + log-gradients + extended-array assembly in ONE program.
+    """One-dispatch augmentation with linear pre/post maps as operands.
 
     The piecewise path (sample, log_gradient, two concatenations, the
     thermal force arithmetic) dispatches ~6 device programs per
@@ -148,22 +241,24 @@ def _scalar_fused_augment(
     transport latency, so noised-map fits pay several round-trips before
     the QP even starts. This kernel emits the full AugmentedTrajectory
     arrays ([x | y], [f + kbt*grad_x log g | kbt*grad_y log g]) in one
-    dispatch. Scalar (isotropic) covariance only — the closed-form
-    log-gradient case.
+    program. The premap enters as a traced matrix, so fresh map objects
+    reuse ONE compiled executable (a bound-method premap would be a new
+    static key every fit — each ``joptgauss_map`` call then re-traces and
+    re-lowers this program through the remote compile service). Covers the
+    staged post-augmenters too via ``postmat``.
     """
-    t, n, _ = coords.shape
-    flat = coords.reshape(t, n * 3)
-    means, vjp = jax.vjp(premap, flat)
-    eps = jrandom.normal(key, means.shape, dtype=means.dtype)
-    flat_aug = means + jnp.sqrt(var) * eps
-    resid = (flat_aug - means) / var  # = sqrt(var) eps / var
-    (source_grad,) = vjp(resid)
-    aug_coords = flat_aug.reshape(t, -1, 3)
-    src_lgrad = source_grad.reshape(t, n, 3)
-    gen_lgrad = (-resid).reshape(t, -1, 3)
+    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    t, c, d = means.shape
+    eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
+    sd = jnp.sqrt(var)
+    aug_coords = means + sd * eps
+    resid = (sd / var) * eps  # (y - mean)/var
+    src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
+    if postmat is not None:
+        src = jtrjdot_g(src, postmat)
     full_coords = jnp.concatenate([coords, aug_coords], axis=1)
     full_forces = jnp.concatenate(
-        [forces + kbt * src_lgrad, kbt * gen_lgrad], axis=1
+        [forces + kbt * src, -kbt * resid], axis=1
     )
     return full_coords, full_forces
 
@@ -202,6 +297,11 @@ class JCondNormal(Augmenter):
         """
         self.premap = _ident if premap is None else premap
         self.source_postmap = _ident if source_postmap is None else source_postmap
+        # linear pre/post maps become traced operands of shared compiled
+        # programs (fresh bound-method callables would be fresh static jit
+        # keys — one retrace + remote lower per constructed map object)
+        self._premap_mat = _linear_flatcall_matrix(self.premap)
+        self._postmap_mat = _linear_map_matrix(self.source_postmap)
         if seed is None:
             seed = int(np.random.default_rng().integers(0, int(1e6)))
         self._rkey, _ = jrandom.split(jrandom.PRNGKey(seed))
@@ -231,27 +331,32 @@ class JCondNormal(Augmenter):
         arrays — a per-call trajectory-sized transfer this path avoids).
         """
         device_in = isinstance(source, jax.Array)
-        flat = self._flatten(jnp.asarray(source, dtype=self.dtype))
+        src = jnp.asarray(source, dtype=self.dtype)
+        use_mat = self.premap is _ident or self._premap_mat is not None
         self._rkey, subkey = jrandom.split(self._rkey)
         if self._scalar_cov:
-            out = _scalar_sample(
-                subkey,
-                flat,
-                jnp.asarray(self._cov, dtype=self.dtype),
-                self.premap,
-            )
+            var = jnp.asarray(self._cov, dtype=self.dtype)
+            if use_mat:
+                if src.ndim != 3 or src.shape[-1] != self.n_dim:
+                    raise ValueError(
+                        f"Expected (*, *, {self.n_dim}) array; got {src.shape}."
+                    )
+                unflat = _mat_sample(subkey, src, var, self._premap_mat)
+            else:
+                out = _scalar_sample(subkey, self._flatten(src), var, self.premap)
+                unflat = self._unflatten(out)
             if self.cov is None:
                 # materialize the diagonal covariance attribute lazily for
                 # API parity; the hot path never uses it.
-                self.cov = jnp.diag(
-                    jnp.full((out.shape[1],), self._cov, dtype=self.dtype)
-                )
+                d = unflat.shape[1] * unflat.shape[2]
+                self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self.dtype))
         else:
+            flat = self._flatten(src)
             means = self.premap(flat)
             chol = self._cholesky()
             eps = jrandom.normal(subkey, means.shape, dtype=means.dtype)
             out = means + eps @ chol.T
-        unflat = self._unflatten(out)
+            unflat = self._unflatten(out)
         if device_in:
             return unflat.astype(self.dtype)
         return np.asarray(unflat, dtype=self.dtype)
@@ -263,26 +368,43 @@ class JCondNormal(Augmenter):
         device_in = isinstance(source, jax.Array) or isinstance(
             generated, jax.Array
         )
-        flat_source = self._flatten(jnp.asarray(source, dtype=self.dtype))
-        flat_generated = self._flatten(jnp.asarray(generated, dtype=self.dtype))
+        src3 = jnp.asarray(source, dtype=self.dtype)
+        gen3 = jnp.asarray(generated, dtype=self.dtype)
         if self.cov is None and self._scalar_cov:
             raise ValueError(
                 "Cannot generate log gradients without cov. Either specify "
                 "cov at init, or call sample prior to log_gradient."
             )
-        if self._scalar_cov:
-            src_grad, gen_grad = _scalar_lgrads(
-                flat_source,
-                flat_generated,
-                jnp.asarray(self._cov, dtype=self.dtype),
-                self.premap,
-            )
+        use_mat = self.premap is _ident or self._premap_mat is not None
+        if use_mat and src3.ndim == 3 and gen3.ndim == 3:
+            if self._scalar_cov:
+                src_grad3, gen_grad3 = _mat_lgrads(
+                    src3,
+                    gen3,
+                    jnp.asarray(self._cov, dtype=self.dtype),
+                    self._premap_mat,
+                )
+            else:
+                src_grad3, gen_grad3 = _mat_matrix_lgrads(
+                    src3, gen3, self._cholesky(), self._premap_mat
+                )
+            source_lgrad, variate_lgrad = src_grad3, gen_grad3
         else:
-            src_grad, gen_grad = _matrix_lgrads(
-                flat_source, flat_generated, self._cholesky(), self.premap
-            )
-        source_lgrad = self._unflatten(src_grad)
-        variate_lgrad = self._unflatten(gen_grad)
+            flat_source = self._flatten(src3)
+            flat_generated = self._flatten(gen3)
+            if self._scalar_cov:
+                src_grad, gen_grad = _scalar_lgrads(
+                    flat_source,
+                    flat_generated,
+                    jnp.asarray(self._cov, dtype=self.dtype),
+                    self.premap,
+                )
+            else:
+                src_grad, gen_grad = _matrix_lgrads(
+                    flat_source, flat_generated, self._cholesky(), self.premap
+                )
+            source_lgrad = self._unflatten(src_grad)
+            variate_lgrad = self._unflatten(gen_grad)
         post = self.source_postmap(source_lgrad)
         if device_in:
             return (
@@ -305,20 +427,30 @@ class JCondNormal(Augmenter):
         be used. Draw-for-draw identical to sample() + log_gradient()
         (same single PRNG split, same noise realization).
         """
-        if not self._scalar_cov or self.source_postmap is not _ident:
+        if not self._scalar_cov:
             return None
         if not isinstance(coords, jax.Array) or not isinstance(
             forces, jax.Array
         ):
             return None
+        premap_ok = self.premap is _ident or self._premap_mat is not None
+        postmap_ok = (
+            self.source_postmap is _ident or self._postmap_mat is not None
+        )
+        if not premap_ok or not postmap_ok:
+            # arbitrary callables stay on the piecewise path; a static-arg
+            # fused variant would retrace per fresh callable (see
+            # _linear_flatcall_matrix)
+            return None
         self._rkey, subkey = jrandom.split(self._rkey)
-        full_coords, full_forces = _scalar_fused_augment(
+        full_coords, full_forces = _mat_fused_augment(
             subkey,
             coords.astype(self.dtype),
             forces.astype(self.dtype),
             jnp.asarray(self._cov, dtype=self.dtype),
             jnp.asarray(kbt, dtype=self.dtype),
-            self.premap,
+            self._premap_mat,
+            self._postmap_mat,
         )
         if self.cov is None:
             d = (full_coords.shape[1] - coords.shape[1]) * self.n_dim

@@ -16,7 +16,12 @@ needs_pdb = pytest.mark.skipif(
 def _run(script: str, *args: str) -> subprocess.CompletedProcess:
     import os
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # prepend the repo root so the examples import aggforce_tpu even when
+    # the package is not installed into the interpreter environment
+    pypath = os.pathsep.join(
+        p for p in (str(REPO), os.environ.get("PYTHONPATH")) if p
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pypath)
     return subprocess.run(
         [sys.executable, str(REPO / "examples" / script), *args],
         capture_output=True,
