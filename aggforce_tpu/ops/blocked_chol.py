@@ -1,0 +1,159 @@
+"""Compile-lean blocked Cholesky and triangular solves.
+
+XLA's TPU lowering of ``cholesky``/``triangular_solve`` unrolls the
+sequential substitution into straight-line code that grows with the matrix
+dimension: at n~700 a single batched multi-RHS ``cho_solve`` serializes to
+~9 MB (~50 MB of device code) and a ``cho_factor`` to ~1.5 MB. On a
+remote-attached device every fresh process pays seconds per megabyte to
+compile OR load that executable through the tunnel — the dominant cold-start
+cost of every fit program, since the equality-QP solver embeds both ops.
+
+These implementations restructure the factorization/solves as
+``lax.fori_loop`` over fixed-size block panels: the only unrolled pieces are
+one (nb, nb) Cholesky and one (nb, nb) triangular solve compiled ONCE as the
+loop body; everything else is MXU GEMMs. Numerics are the standard
+right-looking blocked algorithm — bitwise different from LAPACK's ordering
+but the same O(eps * cond) error class, and the QP solver's residual
+refinement absorbs the difference.
+
+Inputs whose dimension is not a multiple of ``nb`` are padded with an
+identity diagonal (factor of ``[[M, 0], [0, I]]`` is ``[[L, 0], [0, I]]``,
+so the top block is exact). All entries are jittable and vmap-compatible
+(batched GEMMs stay batched).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["cholesky_blocked", "cho_solve_blocked"]
+
+_DEFAULT_BLOCK = 128  # MXU-native tile
+
+
+def _pad_spd(M: jax.Array, nb: int):
+    """Pad an SPD matrix to a multiple of nb with an identity diagonal."""
+    n = M.shape[-1]
+    n_pad = -(-n // nb) * nb
+    if n_pad == n:
+        return M, n
+    pad = n_pad - n
+    M_p = jnp.pad(M, ((0, pad), (0, pad)))
+    idx = jnp.arange(n_pad)
+    diag_pad = jnp.where(idx >= n, 1.0, 0.0).astype(M.dtype)
+    return M_p + jnp.diag(diag_pad), n
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def cholesky_blocked(M: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
+    """Lower-triangular L with L L^T = M, via nb-wide block panels.
+
+    Matches ``jax.scipy.linalg.cho_factor(M, lower=True)[0]`` semantics on
+    the lower triangle (the strict upper triangle is zeroed, unlike
+    LAPACK's garbage-filled upper storage). Non-finite inputs propagate to
+    non-finite outputs exactly like the LAPACK path, so callers' finiteness
+    fallbacks keep working.
+    """
+    M_p, n = _pad_spd(M, nb)
+    n_pad = M_p.shape[-1]
+    k = n_pad // nb
+    rows = jnp.arange(n_pad)
+
+    def body(j, carry):
+        A, L = carry
+        c0 = j * nb
+        D = lax.dynamic_slice(A, (c0, c0), (nb, nb))
+        Ljj = jnp.linalg.cholesky(D)
+        # full-height column panel solved against Ljj^T from the right
+        C = lax.dynamic_slice(A, (0, c0), (n_pad, nb))
+        X = lax.linalg.triangular_solve(
+            Ljj, C, left_side=False, lower=True, transpose_a=True
+        )
+        below = (rows >= c0 + nb)[:, None]
+        panel = jnp.where(below, X, 0.0)  # strictly-subdiagonal part
+        in_diag = ((rows >= c0) & (rows < c0 + nb))[:, None]
+        Ljj_tall = jnp.where(
+            in_diag,
+            lax.dynamic_update_slice(
+                jnp.zeros((n_pad, nb), dtype=A.dtype), Ljj, (c0, 0)
+            ),
+            0.0,
+        )
+        L = lax.dynamic_update_slice(L, panel + Ljj_tall, (0, c0))
+        # trailing update touches only rows/cols >= c0+nb (panel is zero
+        # elsewhere), so a full GEMM is safe and keeps one fused kernel
+        A = A - jnp.matmul(panel, panel.T, precision="highest")
+        return A, L
+
+    L0 = jnp.zeros_like(M_p)
+    _, L = lax.fori_loop(0, k, body, (M_p, L0))
+    return L[:n, :n]
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def cho_solve_blocked(
+    L: jax.Array, B: jax.Array, nb: int = _DEFAULT_BLOCK
+) -> jax.Array:
+    """Solve (L L^T) X = B given lower-triangular L, by block substitution.
+
+    Equivalent of ``jax.scipy.linalg.cho_solve((L, True), B)``; B is
+    (n, n_rhs). Forward then backward substitution, one (nb, nb) triangular
+    solve instance each, panel updates as GEMMs.
+    """
+    n = L.shape[-1]
+    n_pad = -(-n // nb) * nb
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    if n_pad != n:
+        pad = n_pad - n
+        idx = jnp.arange(n_pad)
+        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(
+            jnp.where(idx >= n, 1.0, 0.0).astype(L.dtype)
+        )
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+    k = n_pad // nb
+    rows = jnp.arange(n_pad)
+
+    def fwd(j, carry):
+        R, Y = carry  # R: running right-hand side, Y: solution of L Y = B
+        c0 = j * nb
+        Ljj = lax.dynamic_slice(L, (c0, c0), (nb, nb))
+        Rj = lax.dynamic_slice(R, (c0, 0), (nb, R.shape[1]))
+        Yj = lax.linalg.triangular_solve(
+            Ljj, Rj, left_side=True, lower=True
+        )
+        Y = lax.dynamic_update_slice(Y, Yj, (c0, 0))
+        # subtract this panel's contribution from the remaining rows
+        col = lax.dynamic_slice(L, (0, c0), (n_pad, nb))
+        col = jnp.where((rows >= c0 + nb)[:, None], col, 0.0)
+        R = R - jnp.matmul(col, Yj, precision="highest")
+        return R, Y
+
+    _, Y = lax.fori_loop(
+        0, k, fwd, (B, jnp.zeros_like(B))
+    )
+
+    def bwd(i, carry):
+        # solving L^T X = Y, blocks bottom-up; after computing X_j, rows
+        # ABOVE c0 subtract (L^T)[0:c0, c0:c0+nb] @ X_j
+        # = L[c0:c0+nb, 0:c0]^T @ X_j
+        R, X = carry
+        j = k - 1 - i
+        c0 = j * nb
+        Ljj = lax.dynamic_slice(L, (c0, c0), (nb, nb))
+        Rj = lax.dynamic_slice(R, (c0, 0), (nb, R.shape[1]))
+        Xj = lax.linalg.triangular_solve(
+            Ljj, Rj, left_side=True, lower=True, transpose_a=True
+        )
+        X = lax.dynamic_update_slice(X, Xj, (c0, 0))
+        row = lax.dynamic_slice(L, (c0, 0), (nb, n_pad))  # L[c0:c0+nb, :]
+        row = jnp.where((rows < c0)[None, :], row, 0.0)
+        R = R - jnp.matmul(row.T, Xj, precision="highest")
+        return R, X
+
+    _, X = lax.fori_loop(0, k, bwd, (Y, jnp.zeros_like(Y)))
+    X = X[:n]
+    return X[:, 0] if squeeze else X

@@ -39,6 +39,15 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
+from .blocked_chol import cho_solve_blocked, cholesky_blocked
+
+# Above this dimension the factorization/solve of the augmented operator
+# switches to the blocked (fori_loop) kernels: XLA's unrolled lowering of
+# cholesky/triangular_solve serializes to ~10 MB of device code at n~700,
+# which a fresh process pays seconds to compile or load through the remote
+# compile service. Small problems keep the unrolled path (faster, tiny).
+_BLOCKED_N_THRESHOLD = 256
+
 
 def _kkt(P: jax.Array, A: jax.Array, delta: jax.Array, regularized: bool):
     """Assemble the (regularized) KKT matrix."""
@@ -124,11 +133,15 @@ def eqp_solve_auglag(
     shifts = jnp.stack(
         [jnp.asarray(delta, dtype), jnp.asarray(delta_fallback, dtype)]
     )
-    chols = jax.vmap(
-        lambda s: jsl.cho_factor(M + s * eye, lower=True)[0]
-    )(shifts)
+    blocked = n > _BLOCKED_N_THRESHOLD
+    factor = (
+        cholesky_blocked
+        if blocked
+        else (lambda x: jsl.cho_factor(x, lower=True)[0])
+    )
+    chols = jax.vmap(lambda s: factor(M + s * eye))(shifts)
     ok = jnp.isfinite(chols[0]).all()
-    chol = (jnp.where(ok, chols[0], chols[1]), True)
+    chol_l = jnp.where(ok, chols[0], chols[1])
     # Z = M^{-1} A^T via ONE multi-RHS triangular solve pair — on TPU the
     # sequential substitution cost amortizes over the m right-hand sides,
     # unlike a triangular solve per dual iteration (~1.4 ms each, measured
@@ -139,7 +152,11 @@ def eqp_solve_auglag(
     # constraint-residual refinement loop (GEMVs + m x m triangular solves)
     # removes both that shift's bias and f32 rounding. Direct solve, so no
     # dual-convergence failure mode on stiff problems.
-    Z = jsl.cho_solve(chol, An.T)  # (n, m)
+    Z = (
+        cho_solve_blocked(chol_l, An.T)
+        if blocked
+        else jsl.cho_solve((chol_l, True), An.T)
+    )  # (n, m)
     S = jnp.matmul(An, Z, precision="highest")
     # f32 rounding through Z leaves S slightly asymmetric and, when sampled
     # constraint rows are near-dependent (rank-deficient row sets occur

@@ -77,7 +77,8 @@ def _linear_flatcall_matrix(premap: Callable) -> Optional[jax.Array]:
         # a NaN-checking map cannot run under jit anyway (the verdict is a
         # host-side bool); keep the legacy path so it raises as before
         return None
-    return jnp.asarray(owner.standard_matrix)
+    dev = getattr(owner, "_jax_standard_matrix", None)  # JLinearMap: reuse
+    return dev if dev is not None else jnp.asarray(owner.standard_matrix)
 
 
 def _linear_map_matrix(postmap: Callable) -> Optional[jax.Array]:
@@ -88,7 +89,8 @@ def _linear_map_matrix(postmap: Callable) -> Optional[jax.Array]:
         return None
     if postmap.handle_nans and not getattr(postmap, "bypass_nan_check", False):
         return None
-    return jnp.asarray(postmap.standard_matrix)
+    dev = getattr(postmap, "_jax_standard_matrix", None)  # JLinearMap: reuse
+    return dev if dev is not None else jnp.asarray(postmap.standard_matrix)
 
 
 class SimpleCondNormal(Augmenter):

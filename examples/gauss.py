@@ -15,6 +15,7 @@ import tempfile
 
 from aggforce_tpu import (
     LinearMap,
+    Trajectory,
     project_forces,
     joptgauss_map,
     stagedjforcegauss_map,
@@ -68,9 +69,7 @@ def main() -> None:
 
     # staged workflow: map with the deterministic premap now, noise later
     staged = results["stagedjoptgauss"][TMAP_KNAME]
-    premapped = staged[1](
-        __import__("aggforce_tpu").Trajectory(coords=coords, forces=forces)
-    )
+    premapped = staged[1](Trajectory(coords=coords, forces=forces))
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "staged_map.npz")
         save_tmap(path, staged)

@@ -17,6 +17,11 @@ def test_debug_mode_catches_nan():
     x = jnp.asarray([-1.0])
     # without debug mode: silent NaN
     assert np.isnan(np.asarray(bad(x))).all()
+    # the tripwire's de-optimized rerun dispatches per-primitive eager
+    # executables; entries cached by EARLIER tests (compiled with the
+    # tripwire off) short-circuit the check, making this order-dependent —
+    # drop all caches so everything recompiles under the debug config
+    jax.clear_caches()
     with debug_mode():
         with pytest.raises(FloatingPointError):
             np.asarray(bad(jnp.asarray([-2.0])))
