@@ -24,6 +24,13 @@ import os
 from itertools import product
 from typing import Any, Dict, List
 
+# honor an explicit JAX_PLATFORMS request even under environments whose
+# sitecustomize pins a platform programmatically (config wins over env)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from aggforce_tpu import LinearMap

@@ -12,6 +12,12 @@ import argparse
 import os
 import tempfile
 
+# honor an explicit JAX_PLATFORMS request even under environments whose
+# sitecustomize pins a platform programmatically (config wins over env)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from aggforce_tpu import (
     LinearMap,

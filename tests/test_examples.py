@@ -52,6 +52,15 @@ def test_cv_feat_example():
 
 
 @pytest.mark.slow
+@needs_pdb
+def test_production_fit_example():
+    proc = _run("production_fit.py", "--frames", "100")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "production fit demo OK" in proc.stdout
+    assert "serialized map round-trips" in proc.stdout
+
+
+@pytest.mark.slow
 def test_sharded_example():
     proc = _run("sharded.py", "--frames", "300", "--atoms", "30")
     assert proc.returncode == 0, proc.stderr[-2000:]
