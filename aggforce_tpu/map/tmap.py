@@ -125,7 +125,22 @@ class AugmentedTMap(TMap):
         self.kbt: Final = kbt
 
     def __call__(self, t: Trajectory) -> Trajectory:
-        """Augment (fresh noise draw) then map."""
+        """Augment (fresh noise draw) then map.
+
+        When the augmenter and submaps support it (JCondNormal with linear
+        pre/post maps, SeperableTMap of LinearMaps, device input), the
+        whole application — noising, coordinate map, force map, NaN
+        verdicts — runs as ONE device program with one host sync
+        (JCondNormal.fused_map_apply); otherwise the piecewise path runs.
+        """
+        fused = getattr(self.augmenter, "fused_map_apply", None)
+        if fused is not None and isinstance(self.tmap, SeperableTMap):
+            out = fused(
+                t.coords, t.forces, self.kbt,
+                self.tmap.coord_map, self.tmap.force_map,
+            )
+            if out is not None:
+                return Trajectory(coords=out[0], forces=out[1])
         augmented = AugmentedTrajectory.from_trajectory(
             t=t, kbt=self.kbt, augmenter=self.augmenter
         )

@@ -225,6 +225,30 @@ def _mat_matrix_lgrads(
     return src, -w3
 
 
+def _fused_augment_math(
+    key: jax.Array,
+    coords: jax.Array,  # (T, N, 3)
+    forces: jax.Array,  # (T, N, 3)
+    var: jax.Array,
+    kbt: jax.Array,
+    pmat: Optional[jax.Array],
+    postmat: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Traceable augmentation math shared by the fused kernels."""
+    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    t, c, d = means.shape
+    eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
+    sd = jnp.sqrt(var)
+    aug_coords = means + sd * eps
+    resid = (sd / var) * eps  # (y - mean)/var
+    src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
+    if postmat is not None:
+        src = jtrjdot_g(src, postmat)
+    full_coords = jnp.concatenate([coords, aug_coords], axis=1)
+    full_forces = jnp.concatenate([forces + kbt * src, -kbt * resid], axis=1)
+    return full_coords, full_forces
+
+
 @jax.jit
 def _mat_fused_augment(
     key: jax.Array,
@@ -249,20 +273,54 @@ def _mat_fused_augment(
     re-lowers this program through the remote compile service). Covers the
     staged post-augmenters too via ``postmat``.
     """
-    means = coords if pmat is None else jtrjdot_g(coords, pmat)
-    t, c, d = means.shape
-    eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
-    sd = jnp.sqrt(var)
-    aug_coords = means + sd * eps
-    resid = (sd / var) * eps  # (y - mean)/var
-    src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
-    if postmat is not None:
-        src = jtrjdot_g(src, postmat)
-    full_coords = jnp.concatenate([coords, aug_coords], axis=1)
-    full_forces = jnp.concatenate(
-        [forces + kbt * src, -kbt * resid], axis=1
+    return _fused_augment_math(key, coords, forces, var, kbt, pmat, postmat)
+
+
+@partial(jax.jit, static_argnames=("fill_c", "fill_f"))
+def _mat_fused_apply(
+    key: jax.Array,
+    coords: jax.Array,  # (T, N, 3)
+    forces: jax.Array,  # (T, N, 3)
+    var: jax.Array,
+    kbt: jax.Array,
+    pmat: Optional[jax.Array],
+    postmat: Optional[jax.Array],
+    cmat: jax.Array,  # (C_out, N_aug) coordinate map over the extended system
+    fmat: jax.Array,  # (C_out, N_aug) force map over the extended system
+    fill_c: bool,
+    fill_f: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Whole noised-map application in ONE program, one host sync.
+
+    The legacy apply path (AugmentedTMap: fused augmentation, then a
+    SeperableTMap applying coordinate and force maps) dispatches three
+    programs AND synchronizes the host per NaN verdict — two blocking
+    round-trips per application on remote-attached devices. This kernel
+    augments, maps, and computes both participation-masked NaN verdicts
+    (the semantics of map/jaxlinear._checked_trjdot) in one executable;
+    the caller fetches (mapped_coords, mapped_forces, bad_c, bad_f)
+    together. ``fill_c``/``fill_f`` mirror each map's ``handle_nans``:
+    when False, NaNs propagate into the mapped output exactly like the
+    unchecked legacy path.
+    """
+    full_c, full_f = _fused_augment_math(
+        key, coords, forces, var, kbt, pmat, postmat
     )
-    return full_coords, full_forces
+    if fill_c:
+        part = jnp.any(cmat != 0.0, axis=0)
+        bad_c = jnp.any(jnp.isnan(full_c) & part[None, :, None])
+        mc = jtrjdot_g(jnp.nan_to_num(full_c, nan=0.0), cmat)
+    else:
+        bad_c = jnp.asarray(False)
+        mc = jtrjdot_g(full_c, cmat)
+    if fill_f:
+        part = jnp.any(fmat != 0.0, axis=0)
+        bad_f = jnp.any(jnp.isnan(full_f) & part[None, :, None])
+        mf = jtrjdot_g(jnp.nan_to_num(full_f, nan=0.0), fmat)
+    else:
+        bad_f = jnp.asarray(False)
+        mf = jtrjdot_g(full_f, fmat)
+    return mc, mf, bad_c, bad_f
 
 
 class JCondNormal(Augmenter):
@@ -458,6 +516,78 @@ class JCondNormal(Augmenter):
             d = (full_coords.shape[1] - coords.shape[1]) * self.n_dim
             self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self.dtype))
         return full_coords, full_forces
+
+    def fused_map_apply(
+        self, coords, forces, kbt: float, coord_map, force_map
+    ) -> Optional[Tuple[jax.Array, jax.Array]]:
+        """Augment-then-map (the whole AugmentedTMap application) in ONE
+        program with ONE host sync.
+
+        ``coord_map``/``force_map`` are the (Linear) maps over the extended
+        [real | virtual] system. Returns (mapped_coords, mapped_forces), or
+        None when some component cannot enter a fused program (host
+        arrays, matrix covariance, callable pre/post maps, non-linear
+        maps) — callers then use the piecewise path. NaN semantics match
+        applying the maps individually: handle_nans maps fill NaN->0 and
+        raise on participating NaNs (verdicts are computed in-program and
+        fetched with the outputs, instead of one blocking sync per map).
+        """
+        from ..map import LinearMap  # local import avoids a circular dependency
+
+        if not self._scalar_cov:
+            return None
+        if not isinstance(coords, jax.Array) or not isinstance(
+            forces, jax.Array
+        ):
+            return None
+        if not (self.premap is _ident or self._premap_mat is not None):
+            return None
+        if not (
+            self.source_postmap is _ident or self._postmap_mat is not None
+        ):
+            return None
+        if not isinstance(coord_map, LinearMap) or not isinstance(
+            force_map, LinearMap
+        ):
+            return None
+
+        def _mat(m):
+            dev = getattr(m, "_jax_standard_matrix", None)
+            return dev if dev is not None else jnp.asarray(m.standard_matrix)
+
+        fill_c = bool(coord_map.handle_nans)
+        fill_f = bool(force_map.handle_nans)
+        raise_c = fill_c and not getattr(coord_map, "bypass_nan_check", False)
+        raise_f = fill_f and not getattr(force_map, "bypass_nan_check", False)
+        self._rkey, subkey = jrandom.split(self._rkey)
+        mc, mf, bad_c, bad_f = _mat_fused_apply(
+            subkey,
+            coords.astype(self.dtype),
+            forces.astype(self.dtype),
+            jnp.asarray(self._cov, dtype=self.dtype),
+            jnp.asarray(kbt, dtype=self.dtype),
+            self._premap_mat,
+            self._postmap_mat,
+            _mat(coord_map),
+            _mat(force_map),
+            fill_c,
+            fill_f,
+        )
+        if self.cov is None:
+            c = (
+                self._premap_mat.shape[0]
+                if self._premap_mat is not None
+                else coords.shape[1]
+            )
+            self.cov = jnp.diag(
+                jnp.full((c * self.n_dim,), self._cov, dtype=self.dtype)
+            )
+        if (raise_c and bool(bad_c)) or (raise_f and bool(bad_f)):
+            raise ValueError(
+                "NaN handling is on and multiplication tried to use a NaN "
+                "value. Check the input array and standard_matrix."
+            )
+        return mc, mf
 
     def _cholesky(self) -> jax.Array:
         if self._chol is None:

@@ -163,3 +163,60 @@ def test_augmented_trajectory_uses_fused_path(small_system, monkeypatch):
     )
     assert calls == [True]
     assert isinstance(traj.coords, jax.Array)
+
+
+def test_fused_map_apply_matches_piecewise(small_system):
+    """AugmentedTMap application must be draw-for-draw identical whether it
+    runs as the fused one-program apply or the piecewise path."""
+    from aggforce_tpu.map import SeperableTMap
+    from aggforce_tpu.trajectory import AugmentedTrajectory as AT
+
+    coords, forces, cmap = small_system
+    dev_c, dev_f = jnp.asarray(coords), jnp.asarray(forces)
+    premap = JLinearMap.from_linearmap(cmap, bypass_nan_check=True).flat_call
+    n_aug_total = coords.shape[1] + cmap.n_cg_sites
+    inner_c = JLinearMap(
+        np.eye(n_aug_total, dtype=np.float32)[: cmap.n_cg_sites]
+    )
+    inner_f = JLinearMap(
+        np.eye(n_aug_total, dtype=np.float32)[cmap.n_cg_sites :][:3]
+    )
+    from aggforce_tpu.map.tmap import AugmentedTMap
+
+    aug_a = JCondNormal(cov=0.5, premap=premap, seed=21)
+    tmap_a = AugmentedTMap(
+        aug_tmap=SeperableTMap(coord_map=inner_c, force_map=inner_f),
+        augmenter=aug_a, kbt=0.7,
+    )
+    out_a = tmap_a(Trajectory(coords=dev_c, forces=dev_f))
+
+    # piecewise: same seed, manual augment + map
+    aug_b = JCondNormal(cov=0.5, premap=premap, seed=21)
+    at = AT(coords=dev_c, forces=dev_f, augmenter=aug_b, kbt=0.7)
+    exp_c = inner_c(at.coords)
+    exp_f = inner_f(at.forces)
+    np.testing.assert_allclose(np.asarray(out_a.coords), np.asarray(exp_c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a.forces), np.asarray(exp_f), atol=1e-5)
+    assert isinstance(out_a.coords, jax.Array)
+
+
+def test_fused_map_apply_nan_verdict(small_system):
+    """The in-program NaN verdict must raise exactly like the legacy path."""
+    from aggforce_tpu.map import SeperableTMap
+    from aggforce_tpu.map.tmap import AugmentedTMap
+
+    coords, forces, cmap = small_system
+    coords = coords.copy()
+    coords[0, 0, 0] = np.nan  # participates in every dense map row
+    premap = JLinearMap.from_linearmap(cmap, bypass_nan_check=True).flat_call
+    n_aug_total = coords.shape[1] + cmap.n_cg_sites
+    dense = JLinearMap(
+        np.full((2, n_aug_total), 0.5, dtype=np.float32)
+    )
+    aug = JCondNormal(cov=0.5, premap=premap, seed=3)
+    tmap = AugmentedTMap(
+        aug_tmap=SeperableTMap(coord_map=dense, force_map=dense),
+        augmenter=aug, kbt=0.7,
+    )
+    with pytest.raises(ValueError, match="NaN handling"):
+        tmap(Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces)))
