@@ -102,18 +102,15 @@ def cho_solve_blocked(
     (n, n_rhs). Forward then backward substitution, one (nb, nb) triangular
     solve instance each, panel updates as GEMMs.
     """
-    n = L.shape[-1]
-    n_pad = -(-n // nb) * nb
     squeeze = B.ndim == 1
     if squeeze:
         B = B[:, None]
+    # identity-diagonal padding works for triangular L exactly as for SPD M:
+    # [[L, 0], [0, I]] keeps the top-block solves exact
+    L, n = _pad_spd(L, nb)
+    n_pad = L.shape[-1]
     if n_pad != n:
-        pad = n_pad - n
-        idx = jnp.arange(n_pad)
-        L = jnp.pad(L, ((0, pad), (0, pad))) + jnp.diag(
-            jnp.where(idx >= n, 1.0, 0.0).astype(L.dtype)
-        )
-        B = jnp.pad(B, ((0, pad), (0, 0)))
+        B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
     k = n_pad // nb
     rows = jnp.arange(n_pad)
 

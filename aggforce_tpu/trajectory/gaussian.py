@@ -54,8 +54,10 @@ def _is_close_to_ident(c: Callable) -> bool:
     return c is _ident
 
 
-def _linear_flatcall_matrix(premap: Callable) -> Optional[jax.Array]:
-    """Site matrix of a bound ``LinearMap.flat_call``, if ``premap`` is one.
+def _linear_flatcall_matrix(
+    premap: Callable,
+) -> Optional[Tuple[jax.Array, bool]]:
+    """(site matrix, NaN-fill flag) of a bound ``LinearMap.flat_call``.
 
     Noised-map builders pass ``JLinearMap(...).flat_call`` as the premap
     (e.g. :func:`aggforce_tpu.qp.jgauss.joptgauss_map`). As a *callable* that
@@ -65,6 +67,14 @@ def _linear_flatcall_matrix(premap: Callable) -> Optional[jax.Array]:
     hundreds of ms per call even on a cache hit). Detecting the underlying
     matrix lets the kernels take it as a traced operand instead: one
     compiled program serves every linear premap of matching shape.
+
+    The fill flag carries the map's ``handle_nans`` semantics into the
+    kernels: a NaN-handling map applies to NaN->0-filled input (with
+    ``bypass_nan_check`` merely skipping the raise), so the matrix path
+    must fill identically or NaN coords would propagate where the callable
+    path produced finite output. Returns None when the map would RAISE on
+    NaNs (checking without bypass) — that verdict is a host-side bool the
+    kernels cannot emulate, so the legacy path keeps raising.
     """
     from ..map import LinearMap  # local import avoids a circular dependency
 
@@ -74,15 +84,14 @@ def _linear_flatcall_matrix(premap: Callable) -> Optional[jax.Array]:
     if getattr(premap, "__func__", None) is not LinearMap.flat_call:
         return None
     if owner.handle_nans and not getattr(owner, "bypass_nan_check", False):
-        # a NaN-checking map cannot run under jit anyway (the verdict is a
-        # host-side bool); keep the legacy path so it raises as before
         return None
     dev = getattr(owner, "_jax_standard_matrix", None)  # JLinearMap: reuse
-    return dev if dev is not None else jnp.asarray(owner.standard_matrix)
+    mat = dev if dev is not None else jnp.asarray(owner.standard_matrix)
+    return mat, bool(owner.handle_nans)
 
 
-def _linear_map_matrix(postmap: Callable) -> Optional[jax.Array]:
-    """Site matrix of a LinearMap used as a rank-3 map (source_postmap)."""
+def _linear_map_matrix(postmap: Callable) -> Optional[Tuple[jax.Array, bool]]:
+    """(site matrix, NaN-fill flag) of a LinearMap source_postmap."""
     from ..map import LinearMap
 
     if not isinstance(postmap, LinearMap):
@@ -90,7 +99,8 @@ def _linear_map_matrix(postmap: Callable) -> Optional[jax.Array]:
     if postmap.handle_nans and not getattr(postmap, "bypass_nan_check", False):
         return None
     dev = getattr(postmap, "_jax_standard_matrix", None)  # JLinearMap: reuse
-    return dev if dev is not None else jnp.asarray(postmap.standard_matrix)
+    mat = dev if dev is not None else jnp.asarray(postmap.standard_matrix)
+    return mat, bool(postmap.handle_nans)
 
 
 class SimpleCondNormal(Augmenter):
@@ -171,12 +181,29 @@ def _scalar_sample(
     return means + jnp.sqrt(var) * eps
 
 
-@jax.jit
+def _apply_pmat(coords: jax.Array, pmat: Optional[jax.Array], pfill: bool):
+    """Premap application matching LinearMap NaN-fill semantics.
+
+    A handle_nans map acts on NaN->0-filled input (the fill happens even
+    under bypass_nan_check — bypass only skips the raise); its VJP is
+    therefore zero at NaN input positions. Returns (means, vjp_mask) where
+    vjp_mask is None when no masking is needed.
+    """
+    if pmat is None:
+        return coords, None
+    if pfill:
+        filled = jnp.nan_to_num(coords, nan=0.0)
+        return jtrjdot_g(filled, pmat), jnp.isnan(coords)
+    return jtrjdot_g(coords, pmat), None
+
+
+@partial(jax.jit, static_argnames=("pfill",))
 def _mat_sample(
     key: jax.Array,
     coords: jax.Array,  # (T, N, 3)
     var: jax.Array,
     pmat: Optional[jax.Array],  # (C, N) site matrix, or None = identity
+    pfill: bool = False,
 ) -> jax.Array:
     """Scalar-cov sampling with the (linear) premap as a traced operand.
 
@@ -184,44 +211,50 @@ def _mat_sample(
     structure) is the identity premap. Noise is drawn in the flattened
     layout so draws are bit-identical to the legacy flat kernels.
     """
-    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    means, _ = _apply_pmat(coords, pmat, pfill)
     t, c, d = means.shape
     eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
     return means + jnp.sqrt(var) * eps
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("pfill",))
 def _mat_lgrads(
     coords: jax.Array,
     generated: jax.Array,
     var: jax.Array,
     pmat: Optional[jax.Array],
+    pfill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Closed-form scalar-cov log-gradients, linear premap as operand.
 
     grad_y log g = -(y - Mx)/var; grad_x log g = M^T (y - Mx)/var (the VJP
-    of a linear premap is its transpose).
+    of a linear premap is its transpose, zeroed at filled NaN inputs).
     """
-    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    means, mask = _apply_pmat(coords, pmat, pfill)
     resid = (generated - means) / var
     src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
+    if mask is not None:
+        src = jnp.where(mask, 0.0, src)
     return src, -resid
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("pfill",))
 def _mat_matrix_lgrads(
     coords: jax.Array,
     generated: jax.Array,
     chol: jax.Array,
     pmat: Optional[jax.Array],
+    pfill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-covariance log-gradients, linear premap as operand."""
-    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    means, mask = _apply_pmat(coords, pmat, pfill)
     t, c, d = means.shape
     resid = (generated - means).reshape(t, c * d)
     w = jax.scipy.linalg.cho_solve((chol, True), resid.T).T
     w3 = w.reshape(t, c, d)
     src = w3 if pmat is None else jtrjdot_g(w3, pmat.T)
+    if mask is not None:
+        src = jnp.where(mask, 0.0, src)
     return src, -w3
 
 
@@ -233,23 +266,29 @@ def _fused_augment_math(
     kbt: jax.Array,
     pmat: Optional[jax.Array],
     postmat: Optional[jax.Array],
+    pfill: bool = False,
+    postfill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Traceable augmentation math shared by the fused kernels."""
-    means = coords if pmat is None else jtrjdot_g(coords, pmat)
+    means, mask = _apply_pmat(coords, pmat, pfill)
     t, c, d = means.shape
     eps = jrandom.normal(key, (t, c * d), dtype=means.dtype).reshape(t, c, d)
     sd = jnp.sqrt(var)
     aug_coords = means + sd * eps
     resid = (sd / var) * eps  # (y - mean)/var
     src = resid if pmat is None else jtrjdot_g(resid, pmat.T)
+    if mask is not None:
+        src = jnp.where(mask, 0.0, src)
     if postmat is not None:
+        if postfill:
+            src = jnp.nan_to_num(src, nan=0.0)
         src = jtrjdot_g(src, postmat)
     full_coords = jnp.concatenate([coords, aug_coords], axis=1)
     full_forces = jnp.concatenate([forces + kbt * src, -kbt * resid], axis=1)
     return full_coords, full_forces
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("pfill", "postfill"))
 def _mat_fused_augment(
     key: jax.Array,
     coords: jax.Array,  # (T, N, 3)
@@ -258,6 +297,8 @@ def _mat_fused_augment(
     kbt: jax.Array,
     pmat: Optional[jax.Array],  # (C, N) or None = identity premap
     postmat: Optional[jax.Array],  # (N', N) or None = identity postmap
+    pfill: bool = False,
+    postfill: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One-dispatch augmentation with linear pre/post maps as operands.
 
@@ -273,10 +314,12 @@ def _mat_fused_augment(
     re-lowers this program through the remote compile service). Covers the
     staged post-augmenters too via ``postmat``.
     """
-    return _fused_augment_math(key, coords, forces, var, kbt, pmat, postmat)
+    return _fused_augment_math(
+        key, coords, forces, var, kbt, pmat, postmat, pfill, postfill
+    )
 
 
-@partial(jax.jit, static_argnames=("fill_c", "fill_f"))
+@partial(jax.jit, static_argnames=("fill_c", "fill_f", "pfill", "postfill"))
 def _mat_fused_apply(
     key: jax.Array,
     coords: jax.Array,  # (T, N, 3)
@@ -289,6 +332,8 @@ def _mat_fused_apply(
     fmat: jax.Array,  # (C_out, N_aug) force map over the extended system
     fill_c: bool,
     fill_f: bool,
+    pfill: bool = False,
+    postfill: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Whole noised-map application in ONE program, one host sync.
 
@@ -304,7 +349,7 @@ def _mat_fused_apply(
     unchecked legacy path.
     """
     full_c, full_f = _fused_augment_math(
-        key, coords, forces, var, kbt, pmat, postmat
+        key, coords, forces, var, kbt, pmat, postmat, pfill, postfill
     )
     if fill_c:
         part = jnp.any(cmat != 0.0, axis=0)
@@ -359,9 +404,12 @@ class JCondNormal(Augmenter):
         self.source_postmap = _ident if source_postmap is None else source_postmap
         # linear pre/post maps become traced operands of shared compiled
         # programs (fresh bound-method callables would be fresh static jit
-        # keys — one retrace + remote lower per constructed map object)
-        self._premap_mat = _linear_flatcall_matrix(self.premap)
-        self._postmap_mat = _linear_map_matrix(self.source_postmap)
+        # keys — one retrace + remote lower per constructed map object);
+        # the fill flags carry each map's handle_nans semantics
+        pm = _linear_flatcall_matrix(self.premap)
+        self._premap_mat, self._premap_fill = pm if pm else (None, False)
+        qm = _linear_map_matrix(self.source_postmap)
+        self._postmap_mat, self._postmap_fill = qm if qm else (None, False)
         if seed is None:
             seed = int(np.random.default_rng().integers(0, int(1e6)))
         self._rkey, _ = jrandom.split(jrandom.PRNGKey(seed))
@@ -401,7 +449,10 @@ class JCondNormal(Augmenter):
                     raise ValueError(
                         f"Expected (*, *, {self.n_dim}) array; got {src.shape}."
                     )
-                unflat = _mat_sample(subkey, src, var, self._premap_mat)
+                unflat = _mat_sample(
+                    subkey, src, var, self._premap_mat,
+                    pfill=self._premap_fill,
+                )
             else:
                 out = _scalar_sample(subkey, self._flatten(src), var, self.premap)
                 unflat = self._unflatten(out)
@@ -436,17 +487,25 @@ class JCondNormal(Augmenter):
                 "cov at init, or call sample prior to log_gradient."
             )
         use_mat = self.premap is _ident or self._premap_mat is not None
-        if use_mat and src3.ndim == 3 and gen3.ndim == 3:
+        rank3 = (
+            src3.ndim == 3
+            and gen3.ndim == 3
+            and src3.shape[-1] == self.n_dim
+            and gen3.shape[-1] == self.n_dim
+        )  # anything else falls to the legacy path, which validates/raises
+        if use_mat and rank3:
             if self._scalar_cov:
                 src_grad3, gen_grad3 = _mat_lgrads(
                     src3,
                     gen3,
                     jnp.asarray(self._cov, dtype=self.dtype),
                     self._premap_mat,
+                    pfill=self._premap_fill,
                 )
             else:
                 src_grad3, gen_grad3 = _mat_matrix_lgrads(
-                    src3, gen3, self._cholesky(), self._premap_mat
+                    src3, gen3, self._cholesky(), self._premap_mat,
+                    pfill=self._premap_fill,
                 )
             source_lgrad, variate_lgrad = src_grad3, gen_grad3
         else:
@@ -511,6 +570,8 @@ class JCondNormal(Augmenter):
             jnp.asarray(kbt, dtype=self.dtype),
             self._premap_mat,
             self._postmap_mat,
+            pfill=self._premap_fill,
+            postfill=self._postmap_fill,
         )
         if self.cov is None:
             d = (full_coords.shape[1] - coords.shape[1]) * self.n_dim
@@ -572,6 +633,8 @@ class JCondNormal(Augmenter):
             _mat(force_map),
             fill_c,
             fill_f,
+            pfill=self._premap_fill,
+            postfill=self._postmap_fill,
         )
         if self.cov is None:
             c = (
@@ -582,11 +645,15 @@ class JCondNormal(Augmenter):
             self.cov = jnp.diag(
                 jnp.full((c * self.n_dim,), self._cov, dtype=self.dtype)
             )
-        if (raise_c and bool(bad_c)) or (raise_f and bool(bad_f)):
-            raise ValueError(
-                "NaN handling is on and multiplication tried to use a NaN "
-                "value. Check the input array and standard_matrix."
-            )
+        if raise_c or raise_f:
+            # both verdicts in ONE host round-trip (each bool() would block
+            # on its own transfer — 10-45 ms apiece through a remote tunnel)
+            bad_c_v, bad_f_v = jax.device_get((bad_c, bad_f))
+            if (raise_c and bool(bad_c_v)) or (raise_f and bool(bad_f_v)):
+                raise ValueError(
+                    "NaN handling is on and multiplication tried to use a "
+                    "NaN value. Check the input array and standard_matrix."
+                )
         return mc, mf
 
     def _cholesky(self) -> jax.Array:

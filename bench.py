@@ -31,8 +31,11 @@ import time
 
 import numpy as np
 
-# process-relative clock for the end-to-end (import -> first fit) metric
+# process-relative clock for the end-to-end (import -> first fit) metric;
+# only meaningful when the featurized config is the sole workload of the
+# process (BENCH_MODE=all runs four configs first, so main() clears this)
 _T0 = time.perf_counter()
+_E2E_VALID = True
 
 
 def log(*args):
@@ -79,24 +82,21 @@ def build_fixture(n_frames: int, warm=None):
         ca_map_from_pdb,
         guess_h_bond_groups,
         n_atoms,
-        pdb_coordinates,
     )
-    from aggforce_tpu.utils.synth import synthesize_trajectory
+    from aggforce_tpu.utils.synth import (
+        synthesize_protein_fixture,
+        synthesize_trajectory,
+    )
 
     pdb = "/root/reference/tests/data/cln025.pdb"
     if os.path.exists(pdb):
+        # topology-derived inputs first (cheap) so warm-up can start before
+        # the seconds-long trajectory synthesis
         cmap = LinearMap(ca_map_from_pdb(pdb), n_fg_sites=n_atoms(pdb))
         groups = guess_h_bond_groups(pdb)
         handle = warm(cmap, groups) if warm is not None else None
-        base = pdb_coordinates(pdb)
-        coords, forces = synthesize_trajectory(base, groups, n_frames, seed=2024)
-        fix = {
-            "coords": coords,
-            "forces": forces,
-            "kbt": np.float64(0.6955215),
-            "constraint_groups": groups,
-            "warmup_handle": handle,
-        }
+        fix = dict(synthesize_protein_fixture(pdb, n_frames=n_frames, seed=2024))
+        fix["warmup_handle"] = handle
         return fix, cmap
     # standalone fallback: 175-atom synthetic system, 10 cg sites
     rng = np.random.default_rng(0)
@@ -412,9 +412,10 @@ def run_featurized() -> None:
     t0 = time.perf_counter()
     tmap = fit(7)
     t_first = time.perf_counter() - t0
-    t_e2e = time.perf_counter() - _T0
+    t_e2e = time.perf_counter() - _T0 if _E2E_VALID else None
     log(f"first fit (incl. compile): {t_first:.3f}s")
-    log(f"process end-to-end to first fitted map: {t_e2e:.3f}s")
+    if t_e2e is not None:
+        log(f"process end-to-end to first fitted map: {t_e2e:.3f}s")
 
     # 5 timed runs, min: per-fit wall clock includes one host round-trip,
     # whose latency through the remote-device tunnel varies run to run
@@ -466,7 +467,9 @@ def run_featurized() -> None:
         n_frames / elapsed,
         extra={
             "first_fit_s": round(t_first, 3),
-            "process_e2e_s": round(t_e2e, 3),
+            **(
+                {"process_e2e_s": round(t_e2e, 3)} if t_e2e is not None else {}
+            ),
             "warmup_wait_s": round(warmup_wait_s, 3),
             "tflops": round(tflops, 2),
             "mfu": round(mfu, 4),
@@ -489,6 +492,8 @@ def main() -> None:
         "sweep": run_sweep,
     }
     if mode == "all":
+        global _E2E_VALID
+        _E2E_VALID = False
         for fn in (run_static, run_gauss, run_cv, run_sweep, run_featurized):
             fn()
         return

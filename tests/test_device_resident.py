@@ -220,3 +220,30 @@ def test_fused_map_apply_nan_verdict(small_system):
     )
     with pytest.raises(ValueError, match="NaN handling"):
         tmap(Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces)))
+
+
+def test_bypass_premap_fills_nans_like_legacy(small_system):
+    """A handle_nans premap with bypass_nan_check acts on NaN->0-filled
+    input (bypass skips only the raise); the matrix-operand fast path must
+    fill identically, so NaN coords yield finite virtual sites and the
+    noised-map application of such trajectories does not raise."""
+    coords, forces, cmap = small_system
+    coords = coords.copy()
+    coords[0, 1, :] = np.nan
+    premap = JLinearMap.from_linearmap(cmap, bypass_nan_check=True).flat_call
+    aug = JCondNormal(cov=0.5, premap=premap, seed=2)
+    y = aug.sample(jnp.asarray(coords))
+    assert np.all(np.isfinite(np.asarray(y)))
+    gx, gy = aug.log_gradient(jnp.asarray(coords), y)
+    # the VJP of a filled premap is zero at NaN input positions
+    assert np.all(np.asarray(gx)[0, 1, :] == 0.0)
+    assert np.all(np.isfinite(np.asarray(gy)))
+
+    # the fused one-dispatch augmentation agrees
+    aug2 = JCondNormal(cov=0.5, premap=premap, seed=2)
+    fc, ff = aug2.fused_augment(jnp.asarray(coords), jnp.asarray(forces), 0.7)
+    n_real = coords.shape[1]
+    assert np.all(np.isfinite(np.asarray(fc)[:, n_real:]))  # virtual block
+    np.testing.assert_allclose(
+        np.asarray(fc)[:, n_real:], np.asarray(y), atol=1e-6
+    )
