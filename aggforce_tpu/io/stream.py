@@ -19,6 +19,7 @@ in-memory fits (same chunked Gram order when chunk sizes match) and run
 through the same convergence-checked solvers.
 """
 
+from functools import partial
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -111,6 +112,50 @@ class TrajectoryStream:
         return np.stack([np.asarray(self.coords[int(i)]) for i in frame_idx])
 
 
+@partial(jax.jit, static_argnames=("r",))
+def _linear_gram_update(
+    gram: jax.Array,
+    forces_chunk: jax.Array,
+    mask: jax.Array,
+    labels: jax.Array,
+    r: int,
+) -> jax.Array:
+    """One chunk's contribution to the reduced force Gram.
+
+    Module-level (all data as operands) so every streamed fit reuses ONE
+    compiled program — a per-fit closure would capture ``labels`` as a
+    baked constant and re-trace/re-compile on every call.
+    """
+    con = jax.nn.one_hot(labels, r, dtype=forces_chunk.dtype)
+    f = forces_chunk * mask[:, None, None]
+    t, n, d = f.shape
+    flat = jnp.swapaxes(f, 1, 2).reshape(t * d, n)
+    design = jnp.matmul(flat, con, precision="highest")
+    return gram + jnp.matmul(design.T, design, precision="highest")
+
+
+@partial(jax.jit, static_argnames=("r",))
+def _linear_gram_solve(
+    gram: jax.Array,
+    labels: jax.Array,
+    cmap_mat: jax.Array,
+    l2_regularization: jax.Array,
+    r: int,
+):
+    """Regularize, constrain, and solve the accumulated Gram."""
+    dtype = gram.dtype
+    n = labels.shape[0]
+    con = jax.nn.one_hot(labels, r, dtype=dtype)
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), dtype=dtype), labels, num_segments=r
+    )
+    g = gram + l2_regularization * jnp.diag(counts)
+    a_mat = jnp.matmul(cmap_mat, con, precision="highest")
+    basis = jnp.eye(a_mat.shape[0], dtype=dtype)
+    x, resid = eqp_solve_auglag(g, a_mat, basis, return_resid=True)
+    return x[labels].T, resid
+
+
 def qp_linear_map_streamed(
     stream: TrajectoryStream,
     coord_map: LinearMap,
@@ -130,16 +175,6 @@ def qp_linear_map_streamed(
     labels_np, r = constraint_labels(coord_map.n_fg_sites, constraints)
     labels = jnp.asarray(labels_np)
     dtype = jnp.float32
-    n = coord_map.n_fg_sites
-
-    @jax.jit
-    def update(gram, forces_chunk, mask):
-        con = jax.nn.one_hot(labels, r, dtype=dtype)
-        f = forces_chunk * mask[:, None, None]
-        t, _, d = f.shape
-        flat = jnp.swapaxes(f, 1, 2).reshape(t * d, n)
-        design = jnp.matmul(flat, con, precision="highest")
-        return gram + jnp.matmul(design.T, design, precision="highest")
 
     gram = jnp.zeros((r, r), dtype=dtype)
     c = stream.chunk_size
@@ -148,24 +183,17 @@ def qp_linear_map_streamed(
             np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
             dtype=dtype,
         )
-        gram = update(gram, jnp.asarray(fc, dtype=dtype), mask)
-
-    @jax.jit
-    def solve(gram):
-        con = jax.nn.one_hot(labels, r, dtype=dtype)
-        counts = jax.ops.segment_sum(
-            jnp.ones((n,), dtype=dtype), labels, num_segments=r
+        gram = _linear_gram_update(
+            gram, jnp.asarray(fc, dtype=dtype), mask, labels, r
         )
-        g = gram + jnp.asarray(l2_regularization, dtype) * jnp.diag(counts)
-        a_mat = jnp.matmul(
-            jnp.asarray(coord_map.standard_matrix, dtype), con,
-            precision="highest",
-        )
-        basis = jnp.eye(a_mat.shape[0], dtype=dtype)
-        x, resid = eqp_solve_auglag(g, a_mat, basis, return_resid=True)
-        return x[labels].T, resid
 
-    fmap_dev, resid_dev = solve(gram)
+    fmap_dev, resid_dev = _linear_gram_solve(
+        gram,
+        labels,
+        jnp.asarray(coord_map.standard_matrix, dtype),
+        jnp.asarray(l2_regularization, dtype),
+        r,
+    )
     fmap_mat, resid_val = jax.device_get((fmap_dev, resid_dev))
     fmap_mat = np.asarray(fmap_mat)
     if not np.all(np.isfinite(fmap_mat)) or not float(resid_val) <= resid_tol:
@@ -200,6 +228,45 @@ def _host_linear_fit_from_gram(
     a_mat = np.asarray(coord_map.standard_matrix, dtype=np.float64) @ con_mat
     x = eqp_solve_host(gram64, a_mat, np.eye(a_mat.shape[0]))
     return (con_mat @ x).T
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _feat_gram_update(
+    gram, coords_chunk, forces_chunk, mask, cmap_mat, gm, oh, ct, cen,
+    kbt, spec,
+):
+    """One chunk's contribution to the per-site featurized Grams.
+
+    Module-level with all data as operands (a per-fit closure would bake
+    the featurization constants into a fresh program and re-trace per fit).
+    """
+    return gram + _scan_gram(
+        coords_chunk, forces_chunk, mask, cmap_mat, gm, oh, ct, cen,
+        kbt, spec, 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _feat_gram_finish(gram, constr_coords, cmap_mat, gm, oh, ct, cen, spec):
+    """Constraint rows + batched multi-site solve on the final Grams."""
+    from ..ops.eqp import batched_eqp_solve_auglag
+
+    dtype = gram.dtype
+    s_dim = cmap_mat.shape[0]
+    cg = jnp.einsum(
+        "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+    )
+    a_rows = _constraint_rows(
+        constr_coords, cg, cmap_mat, gm, oh, ct, cen, spec
+    )
+    eye = jnp.eye(s_dim, dtype=dtype)
+    b = jnp.broadcast_to(
+        eye[:, None, :], (s_dim, constr_coords.shape[0], s_dim)
+    ).reshape(s_dim, -1)
+    coefs, resids = batched_eqp_solve_auglag(
+        gram, a_rows, b[..., None], return_resid=True
+    )
+    return coefs[..., 0], jnp.max(resids), a_rows, b
 
 
 def fused_gb_linear_map_streamed(
@@ -242,14 +309,6 @@ def fused_gb_linear_map_streamed(
     cen = jnp.asarray(centers)
     kbt_dev = jnp.asarray(kbt, dtype)
 
-    @jax.jit
-    def update(gram, coords_chunk, forces_chunk, mask):
-        contrib = _scan_gram(
-            coords_chunk, forces_chunk, mask, cmap_mat, gm, oh, ct, cen,
-            kbt_dev, spec, 1,
-        )
-        return gram + contrib
-
     s_dim = coord_map.n_cg_sites
     g = onehot.shape[1]
     k_exp = g * spec.n_basis + (g if spec.include_id else 0)
@@ -260,9 +319,9 @@ def fused_gb_linear_map_streamed(
             np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
             dtype=dtype,
         )
-        gram = update(
+        gram = _feat_gram_update(
             gram, jnp.asarray(cc, dtype=dtype), jnp.asarray(fc, dtype=dtype),
-            mask,
+            mask, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
         )
     gram = gram + jnp.asarray(l2_regularization, dtype) * jnp.eye(
         k_exp, dtype=dtype
@@ -273,26 +332,9 @@ def fused_gb_linear_map_streamed(
     frame_idx = rng.choice(stream.n_frames, size=n_cf, replace=False)
     constr_coords = jnp.asarray(stream.gather_frames(frame_idx), dtype=dtype)
 
-    @jax.jit
-    def finish(gram, constr_coords):
-        cg = jnp.einsum(
-            "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
-        )
-        a_rows = _constraint_rows(
-            constr_coords, cg, cmap_mat, gm, oh, ct, cen, spec
-        )
-        eye = jnp.eye(s_dim, dtype=dtype)
-        b = jnp.broadcast_to(
-            eye[:, None, :], (s_dim, constr_coords.shape[0], s_dim)
-        ).reshape(s_dim, -1)
-        from ..ops.eqp import batched_eqp_solve_auglag
-
-        coefs, resids = batched_eqp_solve_auglag(
-            gram, a_rows, b[..., None], return_resid=True
-        )
-        return coefs[..., 0], jnp.max(resids), a_rows, b
-
-    coefs, resid, a_rows, b = finish(gram, constr_coords)
+    coefs, resid, a_rows, b = _feat_gram_finish(
+        gram, constr_coords, cmap_mat, gm, oh, ct, cen, spec
+    )
     return _package_fused_map(
         coefs, resid, gram, a_rows, b, coord_map, onehot, centers, kbt,
         spec, resid_tol,

@@ -201,3 +201,34 @@ def test_qp_linear_map_mesh_matches_single_device(waterdimer):
         res_single[TMAP_KNAME].force_map.standard_matrix,
         atol=2e-4,
     )
+
+
+def test_sharded_linear_fit_blocked_solver_dimension():
+    """Mesh fit at a reduced dimension above the blocked-Cholesky threshold:
+    the fori_loop panel kernels must compose with shard_map/psum and agree
+    with the float64 host oracle."""
+    from aggforce_tpu.ops.eqp import _BLOCKED_N_THRESHOLD
+    from aggforce_tpu.qp.qplinear import _host_linear_fit
+
+    rng = np.random.default_rng(11)
+    n_fg = _BLOCKED_N_THRESHOLD + 44  # 300: forces the blocked path
+    n_frames = 160
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    cmap_rows = [[i] for i in range(0, n_fg, n_fg // 4)][:4]
+    cmap = LinearMap(cmap_rows, n_fg_sites=n_fg)
+    con_mat = make_bond_constraint_matrix(n_fg, set())
+
+    sharded = np.asarray(
+        sharded_linear_fit(
+            forces, con_mat.astype(np.float32),
+            np.asarray(cmap.standard_matrix, dtype=np.float32),
+            l2_regularization=1e-3, mesh=make_mesh(axis_name="frames"),
+        )
+    )
+    oracle = _host_linear_fit(
+        forces, con_mat.astype(np.float64), cmap.standard_matrix, 1e-3
+    )
+    np.testing.assert_allclose(sharded, oracle, atol=5e-4)
+    # orthogonality of the fitted map
+    ortho = np.asarray(cmap.standard_matrix) @ sharded.T
+    np.testing.assert_allclose(ortho, np.eye(4), atol=1e-3)
