@@ -104,7 +104,13 @@ def report(name, secs):
           f"({100*gbs/PEAK_HBM_GBS:4.1f}%)")
 
 
+# stage EVERY operand once: a host->device conversion inside the timed
+# lambda re-uploads per call, and through the tunnel a single upload can
+# cost more than the kernel itself
+mask_dev = jnp.asarray(mask)
+jax.block_until_ready(mask_dev)
+
 best, gram = timed("pallas", lambda: pg.pallas_site_grams(
-    gpos, cg, fg, jnp.asarray(mask), centers_flat, kbt_counts_flat,
+    gpos, cg, fg, mask_dev, centers_flat, kbt_counts_flat,
     K, spec.width, clip, t_block=t_block))
 report(f"pallas t_block={t_block}", best)
