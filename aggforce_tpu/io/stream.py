@@ -33,11 +33,10 @@ from ..qp.fusedfeat import (
     GBFeatSpec,
     _constraint_rows,
     _package_fused_map,
-    _prepare_fused_setup,
     _scan_gram,
+    group_factorization,
 )
 from ..qp.qplinear import constraint_labels
-from ..trajectory import Trajectory
 
 
 class TrajectoryStream:
@@ -203,7 +202,7 @@ def qp_linear_map_streamed(
         gram64 = np.zeros((r, r))
         for cc, fc, n_valid in stream.chunks():
             f = np.asarray(fc[:n_valid], dtype=np.float64)
-            flat = np.swapaxes(f, 1, 2).reshape(-1, n)
+            flat = np.swapaxes(f, 1, 2).reshape(-1, coord_map.n_fg_sites)
             design = flat @ con_mat
             gram64 += design.T @ design
         fmap_mat = _host_linear_fit_from_gram(
@@ -289,17 +288,10 @@ def fused_gb_linear_map_streamed(
     """
     if constraints is None:
         constraints = set()
-    # group factorization needs only the coordinate-map structure; reuse the
-    # shared setup on a placeholder 1-frame trajectory
-    head_c, head_f, _ = next(iter(stream.chunks()))
-    placeholder = Trajectory(coords=head_c[:1], forces=head_f[:1])
-    setup = _prepare_fused_setup(
-        placeholder, coord_map, spec, constraints, stream.chunk_size, None,
-        False,
-    )
+    # group factorization is a pure function of the topology — no data read
+    geom = group_factorization(coord_map, spec, constraints)
     onehot, group_mean, counts, centers = (
-        setup["onehot"], setup["group_mean"], setup["counts"],
-        setup["centers"],
+        geom["onehot"], geom["group_mean"], geom["counts"], geom["centers"],
     )
     dtype = jnp.float32
     cmap_mat = jnp.asarray(coord_map.standard_matrix, dtype)

@@ -13,7 +13,7 @@ fit is [shard frames] -> [local MXU Gram] -> [psum] -> [replicated solve].
 """
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,20 +48,19 @@ def _pad_frames(forces: np.ndarray, n_shards: int) -> np.ndarray:
     return np.concatenate([forces, pad], axis=0)
 
 
-@partial(jax.jit, static_argnames=("mesh", "refine_iters"))
+@partial(jax.jit, static_argnames=("mesh",))
 def _sharded_fit(
     forces: jax.Array,
     con_mat: jax.Array,
     cmap_mat: jax.Array,
     l2_regularization: jax.Array,
     mesh: Mesh,
-    delta: float = 1e-7,
-    refine_iters: int = 4,
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Frame-sharded linear force-map fit over a mesh.
 
     The per-shard Gram is computed under shard_map and psummed over the frame
-    axis; the small KKT system is solved identically on every device.
+    axis; the small KKT system is solved identically on every device. Returns
+    the force-map matrix and the solver's constraint-violation diagnostic.
     """
 
     def local_gram(f_local: jax.Array, con: jax.Array) -> jax.Array:
@@ -83,8 +82,8 @@ def _sharded_fit(
     )
     a_mat = jnp.matmul(cmap_mat, con_mat, precision="highest")
     basis = jnp.eye(a_mat.shape[0], dtype=forces.dtype)
-    x = eqp_solve_auglag(gram, a_mat, basis)
-    return jnp.matmul(con_mat, x, precision="highest").T
+    x, resid = eqp_solve_auglag(gram, a_mat, basis, return_resid=True)
+    return jnp.matmul(con_mat, x, precision="highest").T, resid
 
 
 def sharded_linear_fit(
@@ -93,12 +92,15 @@ def sharded_linear_fit(
     cmap_mat: np.ndarray,
     l2_regularization: float = 0.0,
     mesh: Optional[Mesh] = None,
-) -> np.ndarray:
+    return_resid: bool = False,
+):
     """Fit the optimal linear force-map matrix with frames sharded on a mesh.
 
     Drop-in equivalent of the single-device fit in
     :func:`aggforce_tpu.qp.qplinear.qp_linear_map`, returning the
-    (n_cg, n_fg) force-map matrix.
+    (n_cg, n_fg) force-map matrix. With ``return_resid=True`` also returns
+    the solver's equilibrated constraint violation (the convergence
+    diagnostic callers check before trusting an f32 solve).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -107,14 +109,17 @@ def sharded_linear_fit(
     dtype = jnp.asarray(padded[:1]).dtype
     sharding = NamedSharding(mesh, P(FRAME_AXIS))
     forces_sharded = jax.device_put(padded, sharding)
-    out = _sharded_fit(
+    out, resid = _sharded_fit(
         forces_sharded,
         jnp.asarray(con_mat, dtype=dtype),
         jnp.asarray(cmap_mat, dtype=dtype),
         jnp.asarray(l2_regularization, dtype=dtype),
         mesh=mesh,
     )
-    return np.asarray(out)
+    out_np, resid_np = jax.device_get((out, resid))
+    if return_resid:
+        return np.asarray(out_np), float(resid_np)
+    return np.asarray(out_np)
 
 
 def sharded_force_smoothness(

@@ -23,8 +23,8 @@ Net cost: one trajectory pass + (n_folds * n_l2) solves of K x K systems —
 versus the reference's (n_folds * n_l2) full passes + solver runs.
 
 Numerical contract: the batched f32 solves report their max equilibrated
-constraint violation; if it exceeds ``resid_tol`` the score table is
-recomputed with the float64 oracle from the same device Grams. Note one
+constraint violation; cells exceeding ``resid_tol`` are recomputed with
+the float64 oracle from the same device Grams. Note one
 irreducible sensitivity (any implementation, including the reference's
 refit loop): at severely under-regularized grid points the holdout
 quadratic form amplifies Gram rounding by the train system's condition
@@ -191,8 +191,14 @@ def _host_featurized_scores(
 def _l2_blocks(
     n_l2: int, per_system_bytes: int, n_systems_per_l2: int
 ) -> int:
-    """How many l2 values fit per solve dispatch under ~1 GiB of factors."""
-    budget = 1 << 30
+    """How many l2 values fit per solve dispatch under ~4 GiB of factors.
+
+    ``per_system_bytes`` must account the direct solver's full live set
+    (augmented operator + two-level batched Cholesky + Z + Schur factors),
+    not just the Gram; 4 GiB leaves headroom beside the trajectory and
+    fold Grams on a 16 GB chip.
+    """
+    budget = 4 << 30
     per_l2 = max(1, per_system_bytes * n_systems_per_l2)
     return max(1, min(n_l2, budget // per_l2))
 
@@ -228,10 +234,10 @@ def linear_map_cv(
     partitioner distributes the Gram GEMMs (no explicit collectives needed
     for this small kernel).
 
-    Convergence is checked: if the batched f32 solve's equilibrated
-    constraint violation exceeds ``resid_tol``, the whole score table is
-    recomputed with the float64 oracle (small systems — the Gram pass, the
-    expensive part, is reused).
+    Convergence is checked per (l2, fold) cell: cells whose batched f32
+    solve reports an equilibrated constraint violation above ``resid_tol``
+    are recomputed with the float64 oracle (small systems — the Gram pass,
+    the expensive part, is reused).
     """
     del coords  # constraints are supplied explicitly; coords unused
     con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
@@ -282,7 +288,9 @@ def linear_map_cv(
 
     # every (l2, fold) fit + score is one dispatch per memory-bounded block
     r = con_mat.shape[1]
-    block = _l2_blocks(len(l2_values), 4 * r * r, n_folds)
+    # per-problem live factors: the augmented operator + its two-level
+    # batched Cholesky (~3 r^2 floats) plus Z and the small Schur factors
+    block = _l2_blocks(len(l2_values), 4 * 4 * r * r, n_folds)
     qf_blocks = []
     resids = []
     for i in range(0, len(l2_values), block):
@@ -337,15 +345,15 @@ def fused_gb_cv(
     Cholesky per l2 value, and holdout scores are Gram quadratic forms.
     With ``mesh`` (1-D, axis "frames") each fold's Gram pass shards its
     frames over the devices with a psum reduction. Unconverged f32 solves
-    (equilibrated constraint violation above ``resid_tol``) escalate the
-    score table to the float64 oracle, reusing the device Grams.
+    (equilibrated constraint violation above ``resid_tol``) escalate
+    exactly those (l2, fold) cells to the float64 oracle, reusing the
+    device Grams.
     """
-    from .featlinearmap import id_feat
     from .fusedfeat import (
-        _basis_centers,
         _constraint_rows,
         _scan_gram,
         _sharded_scan_gram,
+        group_factorization,
     )
 
     if rng is None:
@@ -354,13 +362,12 @@ def fused_gb_cv(
     folds = _fold_segments(t, n_folds, rng)
     s_dim = coord_map.n_cg_sites
 
-    ids = id_feat(coords, coord_map, constraints, return_ids=True)
-    n_channels = int(ids.max()) + 1
-    onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
-    onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
-    counts = onehot.sum(axis=0)
-    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
-    centers = _basis_centers(spec).astype(np.float32)
+    # group factorization from the shared helper (single source of truth
+    # for channel allocation / dtype policy)
+    geom = group_factorization(coord_map, spec, constraints)
+    onehot, group_mean, counts, centers = (
+        geom["onehot"], geom["group_mean"], geom["counts"], geom["centers"],
+    )
 
     dtype = jnp.float32
     cmap_mat = jnp.asarray(coord_map.standard_matrix, dtype)
@@ -427,8 +434,12 @@ def fused_gb_cv(
             )
         grams = jnp.stack(grams)  # (k, S, K, K)
 
-    # per-fold constraint systems from train-set frame samples, one dispatch
+    # per-fold constraint systems from train-set frame samples, one dispatch;
+    # short trajectories cannot supply more distinct frames than the smallest
+    # train set holds, so clamp (matching the fit paths' min(n_cf, t))
     eye = np.eye(s_dim, dtype=np.float32)
+    min_train = min(t - len(idx) for idx in folds)
+    n_constraint_frames = min(n_constraint_frames, min_train)
     samples = np.stack(
         [
             rng.choice(
@@ -453,9 +464,14 @@ def fused_gb_cv(
         np.broadcast_to(b, (n_folds,) + b.shape).copy(), dtype
     )  # (k, S, m)
 
-    # every (l2, fold, site) fit + score: one dispatch per memory block
+    # every (l2, fold, site) fit + score: one dispatch per memory block.
+    # Per-problem live factors in the direct solver: the augmented operator
+    # and its two-level batched Cholesky (~3 K^2), Z (K x m), and three
+    # m x m Schur factors — m = n_constraint_frames * s_dim can exceed K
     k_exp = grams.shape[-1]
-    block = _l2_blocks(len(l2_values), 4 * k_exp * k_exp, n_folds * s_dim)
+    m_rows = int(rows.shape[2])
+    per_problem = 4 * (4 * k_exp * k_exp + k_exp * m_rows + 3 * m_rows * m_rows)
+    block = _l2_blocks(len(l2_values), per_problem, n_folds * s_dim)
     qf_blocks = []
     resids = []
     for i in range(0, len(l2_values), block):

@@ -42,7 +42,7 @@ from ..constraints import Constraints, reduce_constraint_sets
 from ..map import CLAFTMap, CLAMap, LinearMap
 from ..ops.eqp import eqp_solve_auglag, eqp_solve_host
 from ..trajectory import Trajectory
-from .qplinear import SolverOptions, _solver_opts
+from .qplinear import DEVICE_REFINE_ITERS, SolverOptions, _solver_opts
 
 KNAME_FEATS: Final = "feats"
 KNAME_DIVS: Final = "divs"
@@ -273,11 +273,14 @@ def qp_feat_linear_map(
                 jnp.asarray(constr_mult, dtype=jnp.float32),
                 jnp.asarray(constr_target[:, None], dtype=jnp.float32),
                 delta=opts.get("delta", 1e-6),
-                iters=opts.get("refine_iters", 40),
+                iters=opts.get("refine_iters", DEVICE_REFINE_ITERS),
                 return_resid=True,
             )
-            params = np.asarray(params_dev)[:, 0]
-            if not np.all(np.isfinite(params)) or not float(resid) <= opts.get(
+            # one host round-trip for solution + diagnostic (separate
+            # fetches each pay the 10-45 ms tunnel latency per site)
+            params, resid_v = jax.device_get((params_dev, resid))
+            params = np.asarray(params)[:, 0]
+            if not np.all(np.isfinite(params)) or not float(resid_v) <= opts.get(
                 "resid_tol", 1e-4
             ):  # NaN-aware
                 # f32 conditioning failure (non-finite, or finite but

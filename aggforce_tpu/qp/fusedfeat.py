@@ -765,6 +765,33 @@ def _fit_coefs_e2e(
     )
 
 
+def group_factorization(
+    coord_map: LinearMap, spec: GBFeatSpec, constraints: Constraints
+) -> dict:
+    """Group-factorized featurization geometry (trajectory-independent).
+
+    The canonical id+gb featurization lives on constraint GROUPS, not
+    atoms; this returns the {onehot, group_mean, counts, centers} arrays
+    that define it — a pure function of the topology (coordinate map +
+    constraint sets) and the basis spec. CV and streaming fits call this
+    directly; :func:`_prepare_fused_setup` adds the per-trajectory padding
+    plan on top.
+    """
+    ids = id_feat(None, coord_map, constraints, return_ids=True)
+    n_channels = int(ids.max()) + 1
+    onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
+    onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
+    counts = onehot.sum(axis=0)
+    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
+    centers = _basis_centers(spec).astype(np.float32)
+    return {
+        "onehot": onehot,
+        "group_mean": group_mean,
+        "counts": counts,
+        "centers": centers,
+    }
+
+
 def _prepare_fused_setup(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -775,13 +802,9 @@ def _prepare_fused_setup(
     use_pallas: Union[bool, str],
 ) -> dict:
     """Shared fit setup: group factorization, padding plan, pallas policy."""
-    ids = id_feat(traj.coords, coord_map, constraints, return_ids=True)
-    n_channels = int(ids.max()) + 1
-    onehot = np.zeros((coord_map.n_fg_sites, n_channels), dtype=np.float32)
-    onehot[np.arange(coord_map.n_fg_sites), ids] = 1.0
-    counts = onehot.sum(axis=0)
-    group_mean = (onehot / np.maximum(counts, 1.0)).T.astype(np.float32)
-    centers = _basis_centers(spec).astype(np.float32)
+    geom = group_factorization(coord_map, spec, constraints)
+    onehot, group_mean = geom["onehot"], geom["group_mean"]
+    counts, centers = geom["counts"], geom["centers"]
 
     t = len(traj)
     n_dev = 1 if mesh is None else int(mesh.devices.size)
@@ -831,17 +854,19 @@ def fused_gb_linear_map_batch(
     solver_iters: int = 40,
     resid_tol: float = 1e-4,
     use_pallas: Union[bool, str] = "auto",
+    flush_every: int = 16,
 ):
     """Fit one map per constraint-sample seed, pipelined on device.
 
-    Dispatches every fit asynchronously (same executable, different
-    constraint frames) and fetches all coefficients + residuals in ONE host
-    sync — on remote-attached devices this amortizes the per-call transport
-    latency across the batch, exposing the device-only fit throughput.
-    Use cases: bootstrap uncertainty over the sampled orthogonality frames,
-    or simply fitting many maps fast. Returns a list of CLAFTMaps (one per
-    seed), each convergence-checked exactly like
-    :func:`fused_gb_linear_map`.
+    Dispatches fits asynchronously (same executable, different constraint
+    frames) and fetches coefficients + residuals in one host sync per
+    ``flush_every`` fits — on remote-attached devices this amortizes the
+    per-call transport latency across the batch, exposing the device-only
+    fit throughput, while bounding live HBM (each in-flight fit holds its
+    per-site Grams and constraint rows until packaged). Use cases:
+    bootstrap uncertainty over the sampled orthogonality frames, or simply
+    fitting many maps fast. Returns a list of CLAFTMaps (one per seed),
+    each convergence-checked exactly like :func:`fused_gb_linear_map`.
     """
     if constraints is None:
         constraints = set()
@@ -865,11 +890,31 @@ def fused_gb_linear_map_batch(
         jnp.asarray(kbt, dtype=dtype),
         jnp.asarray(l2_regularization, dtype=dtype),
     )
-    results = []
+    maps = []
+    pending = []
+
+    def drain() -> None:
+        # one sync per flush window; the per-fit QP pieces (gram, a_rows,
+        # b — needed only by the rare f64 escalation) are released as each
+        # fit is packaged, so live HBM is bounded by the window, not by
+        # len(seeds)
+        fetched = jax.device_get([(r[0], r[1]) for r in pending])
+        for (coefs_np, resid_val), (_, _, gram, a_rows, b) in zip(
+            fetched, pending
+        ):
+            maps.append(
+                _package_fused_map(
+                    np.asarray(coefs_np), float(resid_val), gram, a_rows, b,
+                    coord_map, setup["onehot"], setup["centers"], kbt, spec,
+                    resid_tol,
+                )
+            )
+        pending.clear()
+
     for seed in seeds:
         rng = np.random.default_rng(seed)
         frame_idx = rng.choice(t, size=n_cf, replace=False)
-        results.append(
+        pending.append(
             _fit_coefs_e2e(
                 coords_dev,
                 forces_dev,
@@ -884,17 +929,9 @@ def fused_gb_linear_map_batch(
                 t_block=t_blk,
             )
         )
-    # one sync for the whole batch
-    fetched = jax.device_get([(r[0], r[1]) for r in results])
-    maps = []
-    for (coefs_np, resid_val), (_, _, gram, a_rows, b) in zip(fetched, results):
-        maps.append(
-            _package_fused_map(
-                np.asarray(coefs_np), float(resid_val), gram, a_rows, b,
-                coord_map, setup["onehot"], setup["centers"], kbt, spec,
-                resid_tol,
-            )
-        )
+        if len(pending) >= flush_every:
+            drain()
+    drain()
     return maps
 
 

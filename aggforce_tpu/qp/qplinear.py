@@ -56,8 +56,14 @@ class SolverOptions(TypedDict, total=False):
 
 DEFAULT_SOLVER_OPTIONS: SolverOptions = {
     "backend": "auto",
-    "refine_iters": 4,
 }
+
+# refinement defaults are per-backend (the host LU twin converges in a few
+# sweeps; the device direct solver's refinement loop is clamped internally
+# and wants the full budget), so they are NOT baked into the shared
+# defaults — an explicit user setting overrides both
+HOST_REFINE_ITERS = 4
+DEVICE_REFINE_ITERS = 40
 
 _KNOWN_OPTION_KEYS = frozenset(("backend", "delta", "refine_iters", "resid_tol"))
 
@@ -157,7 +163,13 @@ def qp_linear_map(
     if constraints is None:
         constraints = set()
     opts = _solver_opts(dict(solver_args) if solver_args else None)
-    con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
+    labels, reduced_n = constraint_labels(coord_map.n_fg_sites, constraints)
+
+    def con_mat() -> np.ndarray:
+        # dense duplication matrix, built only on the paths that consume it
+        # (host/native/mesh/escalation) — at sweep scale it is a ~30-70 MB
+        # host allocation the label-based device path never needs
+        return _dense_from_labels(labels, reduced_n)
 
     forces = traj.forces
     backend = opts.get("backend", "auto")
@@ -167,23 +179,32 @@ def qp_linear_map(
     if backend == "device" and mesh is not None:
         from ..parallel.mesh import sharded_linear_fit
 
-        fmap_mat = np.asarray(
-            sharded_linear_fit(
-                forces,
-                con_mat.astype(np.float32),
-                np.asarray(coord_map.standard_matrix, dtype=np.float32),
-                l2_regularization=l2_regularization,
-                mesh=mesh,
-            )
+        fmap_mat, resid_val = sharded_linear_fit(
+            forces,
+            con_mat().astype(np.float32),
+            np.asarray(coord_map.standard_matrix, dtype=np.float32),
+            l2_regularization=l2_regularization,
+            mesh=mesh,
+            return_resid=True,
         )
+        if not np.all(np.isfinite(fmap_mat)) or not resid_val <= opts.get(
+            "resid_tol", 1e-4
+        ):  # NaN-aware — same escalation contract as the single-device path
+            fmap_mat = _host_linear_fit(
+                np.asarray(forces),
+                con_mat().astype(np.float64),
+                coord_map.standard_matrix,
+                l2_regularization,
+            ).astype(np.asarray(fmap_mat).dtype)
     elif backend == "native":
         from ..native import eqp_solve_native
 
-        design = qp_form(np.asarray(forces, dtype=np.float64)) @ con_mat
+        cmat = con_mat()
+        design = qp_form(np.asarray(forces, dtype=np.float64)) @ cmat
         gram = design.T @ design
         if l2_regularization > 0.0:
-            gram = gram + l2_regularization * (con_mat.T @ con_mat)
-        a_mat = np.asarray(coord_map.standard_matrix, dtype=np.float64) @ con_mat
+            gram = gram + l2_regularization * (cmat.T @ cmat)
+        a_mat = np.asarray(coord_map.standard_matrix, dtype=np.float64) @ cmat
         x = eqp_solve_native(
             gram,
             a_mat,
@@ -191,11 +212,11 @@ def qp_linear_map(
             delta=opts.get("delta", 1e-11),
             refine_iters=opts.get("refine_iters", 4),
         )
-        fmap_mat = (con_mat @ x).T.astype(np.asarray(forces).dtype)
+        fmap_mat = (cmat @ x).T.astype(np.asarray(forces).dtype)
     elif backend == "host":
         fmap_mat = _host_linear_fit(
             forces,
-            con_mat.astype(np.float64),
+            con_mat().astype(np.float64),
             coord_map.standard_matrix,
             l2_regularization,
             delta=opts.get("delta", 1e-12),
@@ -215,7 +236,6 @@ def qp_linear_map(
         pad = chunk * n_chunks - t
         if pad:
             forces_dev = jnp.pad(forces_dev, ((0, pad), (0, 0), (0, 0)))
-        labels, reduced_n = constraint_labels(coord_map.n_fg_sites, constraints)
         fmap_dev, resid_dev = _device_linear_fit(
             forces_dev,
             jnp.asarray(labels),
@@ -235,7 +255,7 @@ def qp_linear_map(
             # the float64 LAPACK twin.
             fmap_mat = _host_linear_fit(
                 np.asarray(forces),
-                con_mat.astype(np.float64),
+                con_mat().astype(np.float64),
                 coord_map.standard_matrix,
                 l2_regularization,
             ).astype(np.asarray(fmap_mat).dtype)
@@ -277,6 +297,13 @@ def constraint_labels(
     return labels, col
 
 
+def _dense_from_labels(labels: np.ndarray, reduced_n: int) -> np.ndarray:
+    """Dense duplication matrix C = one_hot(labels) (single source of truth)."""
+    mat = np.zeros((labels.shape[0], reduced_n))
+    mat[np.arange(labels.shape[0]), labels] = 1.0
+    return mat
+
+
 def make_bond_constraint_matrix(n_sites: int, constraints: Constraints) -> np.ndarray:
     """Duplication matrix C mapping reduced coefficients to per-site ones.
 
@@ -284,6 +311,4 @@ def make_bond_constraint_matrix(n_sites: int, constraints: Constraints) -> np.nd
     paths and reference-parity call sites).
     """
     labels, reduced_n = constraint_labels(n_sites, constraints)
-    mat = np.zeros((n_sites, reduced_n))
-    mat[np.arange(n_sites), labels] = 1.0
-    return mat
+    return _dense_from_labels(labels, reduced_n)

@@ -232,3 +232,24 @@ def test_sharded_linear_fit_blocked_solver_dimension():
     # orthogonality of the fitted map
     ortho = np.asarray(cmap.standard_matrix) @ sharded.T
     np.testing.assert_allclose(ortho, np.eye(4), atol=1e-3)
+
+
+def test_sharded_fit_escalates_unconverged_solves(waterdimer):
+    """The mesh path must honor the same convergence contract as the
+    single-device path: solves past resid_tol escalate to the f64 oracle."""
+    from aggforce_tpu.qp.qplinear import qp_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    forces = waterdimer["forces"]
+    coords = waterdimer["coords"]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    traj = Trajectory(coords=coords, forces=forces)
+    # resid_tol=-1 forces escalation on every solve
+    tmap = qp_linear_map(
+        traj, cmap, constraints=set(), mesh=make_mesh(axis_name="frames"),
+        solver_args={"resid_tol": -1.0},
+    )
+    fm = np.asarray(tmap.force_map.standard_matrix)
+    assert np.all(np.isfinite(fm))
+    expected = np.array([[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1]], dtype=float)
+    np.testing.assert_allclose(fm, expected, atol=5e-3)

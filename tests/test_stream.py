@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from aggforce_tpu import LinearMap
 from aggforce_tpu.io import (
     TrajectoryStream,
     fused_gb_linear_map_streamed,
@@ -85,3 +86,21 @@ def test_streamed_featurized_matches_in_memory(stream_fixture):
     scale = np.sqrt(np.mean(np.asarray(f_m) ** 2))
     assert rms < 1e-3 * scale
     assert t_stream.force_map.tags["solver_resid"] < 1e-4
+
+
+def test_streamed_linear_escalation_path():
+    """An out-of-tolerance f32 solve must re-stream the Gram in float64 and
+    still return a valid map (regression: the escalation pass referenced an
+    undefined variable)."""
+    rng = np.random.default_rng(4)
+    n_frames, n_fg = 64, 6
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    coords = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    cmap = LinearMap([[0], [3]], n_fg_sites=n_fg)
+    stream = TrajectoryStream.from_arrays(coords, forces, chunk_size=16)
+    # resid_tol=-1 forces every solve to "fail" the tolerance check
+    tmap = qp_linear_map_streamed(stream, cmap, set(), resid_tol=-1.0)
+    fm = np.asarray(tmap.force_map.standard_matrix)
+    assert np.all(np.isfinite(fm))
+    ortho = np.asarray(cmap.standard_matrix) @ fm.T
+    np.testing.assert_allclose(ortho, np.eye(2), atol=1e-6)
