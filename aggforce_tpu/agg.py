@@ -236,6 +236,23 @@ def _fast_grid_cv(
         if constrained != PROJECT_FORCES_CNSTR_AUTO:
             return None
         constrained = guess_pairwise_constraints(coords)
+        # the generic driver re-detects constraints per fold on TRAINING
+        # frames only; the single-pass implementations need one constraint
+        # set for the shared Gram geometry. Use the fast path only when
+        # per-train-fold detection agrees with the full-trajectory set —
+        # otherwise fall back to the generic (per-fold) driver so results
+        # stay identical. Folds are probed on a COPY of the rng so the
+        # downstream CV draws the same partition it would have anyway.
+        import copy
+
+        from .qp.cv import _fold_segments
+
+        probe_rng = copy.deepcopy(rng) if rng is not None else None
+        probe_folds = _fold_segments(len(coords), n_folds, probe_rng)
+        for held in probe_folds:
+            train_idx = np.setdiff1d(np.arange(len(coords)), held)
+            if guess_pairwise_constraints(coords[train_idx]) != constrained:
+                return None
 
     results: Dict[str, Dict[Any, Any]] = {
         SCORES_KNAME: {},
@@ -261,9 +278,10 @@ def _fast_grid_cv(
         l2_values=l2_values, n_folds=n_folds,
         n_constraint_frames=n_cf, rng=rng, mesh=mesh,
     )
-    # labels mirror the generic driver: one namedtuple field per grid key,
-    # holding the ORIGINAL grid values (featurizer objects, not specs)
-    names = [n for n in ("featurizer", "l2_regularization") if n in keys]
+    # labels mirror the generic driver: one namedtuple field per grid key
+    # in cv_arg_dict INSERTION order (process_cvargs semantics), holding
+    # the ORIGINAL grid values (featurizer objects, not specs)
+    names = [n for n in cv_arg_dict.keys() if n in keys]
     CVArgs = NamedTuple("CVArgs", [(n, Any) for n in names])  # type: ignore[misc]
     feat_indices = range(len(grid_feats)) if grid_feats else [0]
     for fi in feat_indices:

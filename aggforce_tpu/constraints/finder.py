@@ -26,8 +26,11 @@ from .hints import Constraints
 _BLOCK_BYTES = 192 * 1024 * 1024
 
 
-def _frame_chunk(n_sites: int) -> int:
-    per_frame = n_sites * n_sites * 4
+def _frame_chunk(n_a: int, n_b: int) -> int:
+    # the live distance block is (chunk, n_b, n_a) — in cross mode the two
+    # site counts differ, and sizing from one alone can blow the budget by
+    # the ratio of the other
+    per_frame = n_a * n_b * 4
     return max(1, min(64, _BLOCK_BYTES // max(per_frame, 1)))
 
 
@@ -114,7 +117,18 @@ def guess_pairwise_constraints(
     Set of frozensets (within one system) or set of ordered tuples (cross).
     """
     t = xyz.shape[0]
-    n_chunks = max(1, t // _frame_chunk(xyz.shape[1]))
+    # translation invariance for free precision: the Gram-trick distance
+    # (|a|^2 + |b|^2 - 2 a.b) loses ~|a|^2 * eps_f32 to cancellation, which
+    # for trajectories far from the origin (unwrapped/uncentered boxes at
+    # ~100 nm) exceeds the 1e-3 detection threshold. Centering each frame
+    # on its centroid (the same shift for both systems) leaves every
+    # distance exactly unchanged while shrinking |a| to molecular scale.
+    centroid = xyz.mean(axis=1, keepdims=True)
+    xyz = xyz - centroid
+    if cross_xyz is not None:
+        cross_xyz = cross_xyz - centroid
+    n_cross = xyz.shape[1] if cross_xyz is None else cross_xyz.shape[1]
+    n_chunks = max(1, t // _frame_chunk(xyz.shape[1], n_cross))
     # zero-pad to a rectangular (n_chunks, chunk) scan; padded frames are
     # masked out of the moments so every real frame counts (the earlier
     # revision dropped trailing frames — a silent deviation from the

@@ -142,10 +142,18 @@ def random_force_proj(
             coords, forces, n_samples, randg, batch_size, mode="ip", **kwargs
         )
     else:
-        vals = [
-            mscg_ip(forces, method(coords, randg=randg, **kwargs))
-            for _ in range(n_samples)
-        ]
+        # generic fallback: reduce each trial field ON DEVICE when the
+        # method returns device arrays — pulling a trajectory-sized array
+        # to host per sample costs ~seconds each through a remote tunnel
+        jf = jnp.asarray(forces)
+        t = forces.shape[0]
+        vals = []
+        for _ in range(n_samples):
+            trial = method(coords, randg=randg, **kwargs)
+            if isinstance(trial, jax.Array):
+                vals.append(float(jnp.sum(trial * jf) / t))
+            else:
+                vals.append(mscg_ip(forces, trial))
     if average:
         return sum(vals) / n_samples
     return vals
@@ -176,11 +184,16 @@ def random_residual_shift(
         )
         vals = [x - fs for x in raw]
     else:
-        vals = [
-            force_smoothness(forces - np.asarray(method(coords, randg=randg, **kwargs)))
-            - fs
-            for _ in range(n_samples)
-        ]
+        # device-resident difference/reduction for device-array methods
+        # (see random_force_proj's fallback)
+        jf = jnp.asarray(forces)
+        vals = []
+        for _ in range(n_samples):
+            trial = method(coords, randg=randg, **kwargs)
+            if isinstance(trial, jax.Array):
+                vals.append(float(jnp.mean(jnp.square(jf - trial))) - fs)
+            else:
+                vals.append(force_smoothness(forces - np.asarray(trial)) - fs)
     if average:
         return sum(vals) / n_samples
     return vals
@@ -203,15 +216,31 @@ def _fast_rsqpg_stats(
     w = width**2 if sq_args else width
     jcoords = jnp.asarray(coords)
     jforces = jnp.asarray(forces)
+    # the batched jacrev keeps a (batch, T, N, N) activation live for the
+    # backward pass — cap the batch so that stays within ~2 GB of HBM
+    # (the reference looped one offset at a time; a fixed 128 here OOMs at
+    # ~10k frames x 50 sites on a 16 GB chip)
+    t, n = coords.shape[0], coords.shape[1]
+    cap = max(1, (2 << 30) // max(1, t * n * n * 4))
+    eff_batch = max(1, min(batch_size, cap, n_samples))
     out: List[float] = []
-    for lo in range(0, n_samples, batch_size):
-        batch = jnp.asarray(offsets[lo : lo + batch_size])
+    for lo in range(0, n_samples, eff_batch):
+        chunk = offsets[lo : lo + eff_batch]
+        n_valid = len(chunk)
+        if n_valid < eff_batch:
+            # pad the tail so every call reuses ONE compiled executable
+            # (a new batch shape would recompile through the remote
+            # compile service); padded values are discarded below
+            chunk = np.concatenate(
+                [chunk, np.full(eff_batch - n_valid, chunk[-1])]
+            )
+        batch = jnp.asarray(chunk)
         trial = _sq_gaussian_forces_batch(jcoords, batch, w)
         if mode == "ip":
             vals = _batched_mscg_ip(jforces, trial)
         else:
             vals = _batched_smoothness(trial - jforces[None])
-        out.extend(float(v) for v in np.asarray(vals))
+        out.extend(float(v) for v in np.asarray(vals)[:n_valid])
     return out
 
 

@@ -24,14 +24,18 @@ class PDBAtom(NamedTuple):
 
 
 def read_pdb_atoms(path: str) -> List[PDBAtom]:
-    """Parse ATOM/HETATM records from a PDB file.
+    """Parse ATOM/HETATM records from a PDB file (first model only).
 
     Coordinates are converted from Angstrom (PDB convention) to nanometers
-    (mdtraj/aggforce convention).
+    (mdtraj/aggforce convention). Multi-model files (NMR ensembles) yield
+    the topology of MODEL 1 — concatenating every model would multiply the
+    atom count and silently corrupt index-based maps.
     """
     atoms: List[PDBAtom] = []
     with open(path) as fh:
         for line in fh:
+            if line.startswith("ENDMDL"):
+                break
             if not (line.startswith("ATOM") or line.startswith("HETATM")):
                 continue
             name = line[12:16].strip()

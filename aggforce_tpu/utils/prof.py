@@ -4,7 +4,9 @@ The reference has no profiling hooks at all (SURVEY.md §5). This module
 provides the TPU-native observability story:
 
   * :class:`PhaseTimer` — nested wall-clock phase timing with a report
-    (device work is fenced with ``block_until_ready`` so timings are real);
+    (device work is fenced by forcing a freshly dispatched value, which
+    is reliable even where ``block_until_ready`` is not — see
+    :func:`_device_fence`);
   * :func:`trace` — context manager around ``jax.profiler`` emitting a
     TensorBoard-loadable device trace;
   * :func:`log_compile_time` — decorator separating first-call (compile)
@@ -19,11 +21,28 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 
 
+def _device_fence() -> None:
+    """Wait until all previously dispatched device work has EXECUTED.
+
+    ``jax.effects_barrier`` only fences effectful computations, and
+    ``block_until_ready`` on remote-attached devices can return before
+    remote execution finishes (CLAUDE.md gotchas). TPU streams execute
+    in dispatch order, so forcing the VALUE of a freshly dispatched
+    trivial op is a true fence for everything queued before it.
+    """
+    import jax.numpy as jnp
+
+    try:
+        float(jnp.zeros(()) + 1.0)
+    except Exception:
+        pass
+
+
 class PhaseTimer:
     """Accumulates named wall-clock phases; supports nesting and reuse."""
 
     def __init__(self, sync: bool = True) -> None:
-        """``sync=True`` blocks on all live device arrays at phase exit."""
+        """``sync=True`` fences the device at phase exit (timings are real)."""
         self.sync = sync
         self.records: List[Tuple[str, float]] = []
         self._totals: Dict[str, float] = {}
@@ -36,10 +55,7 @@ class PhaseTimer:
             yield self
         finally:
             if self.sync:
-                try:
-                    jax.effects_barrier()
-                except Exception:
-                    pass
+                _device_fence()
             elapsed = time.perf_counter() - start
             self.records.append((name, elapsed))
             self._totals[name] = self._totals.get(name, 0.0) + elapsed
@@ -86,6 +102,7 @@ def log_compile_time(fn: Callable, sink: Optional[Callable[[str], Any]] = None):
         start = time.perf_counter()
         out = fn(*args, **kwargs)
         jax.block_until_ready(out)
+        _device_fence()  # block_until_ready alone can lie on remote devices
         elapsed = time.perf_counter() - start
         state["calls"] += 1
         kind = "first call (incl. compile)" if state["calls"] == 1 else "call"

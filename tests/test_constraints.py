@@ -70,9 +70,28 @@ def test_ragged_tail_frames_all_count(monkeypatch):
     coords = coords.astype(np.float32)
 
     # force multi-chunk streaming with a ragged tail
-    monkeypatch.setattr(finder, "_frame_chunk", lambda n: 16)  # 67 = 4*16+3
+    monkeypatch.setattr(finder, "_frame_chunk", lambda n_a, n_b: 16)  # 67 = 4*16+3
     found = guess_pairwise_constraints(coords, threshold=1e-3)
     assert frozenset((0, 1)) in found
     assert frozenset((2, 3)) not in found, (
         "tail frame was ignored: (2,3) breaks rigidity only in frame 66"
     )
+
+
+def test_detection_far_from_origin():
+    """Distance fluctuations must be detected regardless of the absolute
+    coordinate magnitude (the Gram-trick distance loses ~|a|^2 * eps_f32 to
+    cancellation; per-frame centering restores molecular-scale precision)."""
+    rng = np.random.default_rng(8)
+    n_frames, n = 200, 8
+    base = rng.normal(scale=0.4, size=(n, 3))
+    coords = base[None] + rng.normal(scale=0.05, size=(n_frames, n, 3))
+    # rigid pair: site 1 always exactly 0.1 from site 0
+    coords[:, 1] = coords[:, 0] + np.array([0.1, 0.0, 0.0])
+    # translate the whole system far from the origin, differently per frame
+    shift = 100.0 + rng.normal(scale=5.0, size=(n_frames, 1, 3))
+    far = (coords + shift).astype(np.float32)
+    found = guess_pairwise_constraints(far, threshold=1e-3)
+    assert frozenset({0, 1}) in found
+    near = guess_pairwise_constraints(coords.astype(np.float32), threshold=1e-3)
+    assert found == near
