@@ -66,3 +66,24 @@ def test_warmup_errors_are_recorded_not_raised():
     wait = handle.wait()
     assert wait >= 0.0
     assert handle.error is not None
+
+
+def test_warm_featurized_fit_with_mesh():
+    from aggforce_tpu.parallel import make_mesh
+
+    cmap, constraints, coords, forces = _system()
+    spec = GBFeatSpec(outer=2.0, n_basis=3)
+    mesh = make_mesh(axis_name="frames")
+    handle = warm_featurized_fit(
+        64, cmap, spec, constraints, chunk_size=16, mesh=mesh
+    )
+    handle.wait()
+    assert handle.error is None, handle.error
+    # the warmed mesh program serves the real sharded fit
+    tmap = fused_gb_linear_map(
+        Trajectory(coords=coords, forces=forces),
+        cmap, kbt=0.7, spec=spec, constraints=constraints, chunk_size=16,
+        constraint_rng=np.random.default_rng(0), mesh=mesh,
+    )
+    mc, mf = tmap.map_arrays(coords[:8], forces[:8])
+    assert np.all(np.isfinite(mf))
