@@ -36,7 +36,10 @@ def _checked_trjdot(
     NaNs on perfectly finite data (observed at N=3000).
     """
     if nan_handling:
-        result = jtrjdot(jnp.nan_to_num(points, nan=0.0), factor)
+        # NOT nan_to_num: that would also squash +/-inf to +/-3.4e38,
+        # silently converting infinite inputs into large finite garbage
+        # (the numpy LinearMap path propagates inf; only NaN is filled)
+        result = jtrjdot(jnp.where(jnp.isnan(points), 0.0, points), factor)
         participating = jnp.any(factor != 0.0, axis=0)  # (n_fg,)
         bad = jnp.any(jnp.isnan(points) & participating[None, :, None])
         return result, bad

@@ -54,14 +54,33 @@ def load_native() -> Optional[ctypes.CDLL]:
             return _LIB
         if _BUILD_ERROR is not None:
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
+        # rebuild when the binary is missing or NOT strictly newer than the
+        # source: -march=native binaries are host-specific, and a checkout
+        # gives equal mtimes — loading a foreign-host .so can SIGILL the
+        # whole process
+        if not os.path.exists(_SO) or os.path.getmtime(
+            _SO
+        ) <= os.path.getmtime(_SRC):
             err = _build()
             if err is not None:
                 _BUILD_ERROR = err
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            # corrupt or wrong-format binary: try one fresh build before
+            # declaring the backend unavailable (never raise out of here —
+            # native_available() must degrade gracefully)
+            err = _build()
+            if err is None:
+                try:
+                    lib = ctypes.CDLL(_SO)
+                except OSError as e2:
+                    _BUILD_ERROR = f"native load failed: {e2}"
+                    return None
+            else:
+                _BUILD_ERROR = f"native load failed: {e}; rebuild: {err}"
+                return None
         dp = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
         lib.eqp_kkt_solve.restype = ctypes.c_int
         lib.eqp_kkt_solve.argtypes = [
@@ -74,7 +93,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             dp, dp, dp,
             ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int, dp,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, dp,
         ]
         _LIB = lib
         return _LIB
@@ -107,6 +126,12 @@ def eqp_solve_native(
     if B.ndim == 1:
         B = B[:, None]
     n, m, k = P.shape[0], A.shape[0], B.shape[1]
+    # validate before handing raw buffers to C (mismatched strides would
+    # read/write out of bounds instead of raising)
+    if P.shape != (n, n) or A.shape != (m, n) or B.shape != (m, k):
+        raise ValueError(
+            f"inconsistent shapes: P {P.shape}, A {A.shape}, B {B.shape}"
+        )
     out = np.zeros((n, k), dtype=np.float64)
     rc = lib.eqp_kkt_solve(P, A, B, n, m, k, delta, refine_iters, out)
     if rc != 0:
@@ -123,8 +148,15 @@ def admm_solve_native(
     alpha: float = 1.6,
     eps_abs: float = 1e-9,
     max_iter: int = 4000,
+    polish: bool = True,
 ) -> np.ndarray:
-    """Single-RHS OSQP-style ADMM solve with polish in the C++ backend."""
+    """Single-RHS OSQP-style ADMM solve in the C++ backend.
+
+    ``polish=True`` refines the converged ADMM iterate against the KKT
+    system (OSQP's polish contract); ``polish=False`` returns the raw
+    ADMM iterate — use that when the point is an algorithmically
+    independent cross-check of the direct KKT solvers.
+    """
     lib = load_native()
     if lib is None:
         raise RuntimeError(f"native solver unavailable: {_BUILD_ERROR}")
@@ -132,9 +164,13 @@ def admm_solve_native(
     A = np.ascontiguousarray(A, dtype=np.float64)
     b = np.ascontiguousarray(np.ravel(b), dtype=np.float64)
     n, m = P.shape[0], A.shape[0]
+    if P.shape != (n, n) or A.shape != (m, n) or b.shape != (m,):
+        raise ValueError(
+            f"inconsistent shapes: P {P.shape}, A {A.shape}, b {b.shape}"
+        )
     out = np.zeros(n, dtype=np.float64)
     rc = lib.eqp_admm_solve(
-        P, A, b, n, m, rho, sigma, alpha, eps_abs, max_iter, out
+        P, A, b, n, m, rho, sigma, alpha, eps_abs, max_iter, int(polish), out
     )
     if rc < 0:
         raise RuntimeError("native ADMM solve failed")

@@ -174,7 +174,7 @@ int eqp_kkt_solve(const double* P, const double* A, const double* B, int n,
 // Returns iterations used, or -1 on failure.
 int eqp_admm_solve(const double* P, const double* A, const double* b, int n,
                    int m, double rho, double sigma, double alpha,
-                   double eps_abs, int max_iter, double* x_out) {
+                   double eps_abs, int max_iter, int polish, double* x_out) {
   Equilibrated eq = equilibrate(P, A, n, m);
   std::vector<double> bn(m);
   for (int r = 0; r < m; ++r) bn[r] = b[r] / eq.row_norm[r];
@@ -218,16 +218,42 @@ int eqp_admm_solve(const double* P, const double* A, const double* b, int n,
       dual = std::max(dual, std::fabs(tmp_n[i] + aty[i]));
     if (prim < eps_abs && dual < eps_abs) break;
   }
-  // polish: one exact KKT solve seeded by the ADMM iterate (refinement
-  // against the unregularized system via eqp_kkt_solve machinery)
-  std::vector<double> X(n);
-  std::vector<double> Bcol(m);
-  for (int r = 0; r < m; ++r) Bcol[r] = b[r];
-  if (eqp_kkt_solve(P, A, Bcol.data(), n, m, 1, 1e-11, 4, X.data()) == 0) {
-    std::memcpy(x_out, X.data(), sizeof(double) * n);
-  } else {
-    std::memcpy(x_out, x.data(), sizeof(double) * n);
+  if (polish) {
+    // OSQP-style polish: refine the ADMM iterate (x, y) against the
+    // (lightly regularized) KKT system — residual-correction sweeps
+    // seeded by the ADMM solution, NOT a from-scratch solve (which would
+    // make the ADMM result, and any cross-check against the direct
+    // solver, meaningless).
+    const int dim = n + m;
+    const double delta = 1e-11;
+    std::vector<double> K((size_t)dim * dim, 0.0), Kt;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j)
+        K[(size_t)i * dim + j] = eq.Pn[(size_t)i * n + j];
+    for (int r = 0; r < m; ++r)
+      for (int j = 0; j < n; ++j) {
+        K[(size_t)(n + r) * dim + j] = eq.An[(size_t)r * n + j];
+        K[(size_t)j * dim + (n + r)] = eq.An[(size_t)r * n + j];
+      }
+    Kt = K;  // unregularized copy for residuals
+    for (int i = 0; i < n; ++i) K[(size_t)i * dim + i] += delta;
+    for (int r = 0; r < m; ++r) K[(size_t)(n + r) * dim + (n + r)] = -delta;
+    std::vector<int> kpiv(dim);
+    if (lu_factor(K, kpiv, dim)) {
+      std::vector<double> z(dim), rhs(dim, 0.0), resid(dim), corr(dim);
+      for (int i = 0; i < n; ++i) z[i] = x[i];
+      for (int r = 0; r < m; ++r) z[n + r] = y[r];
+      for (int r = 0; r < m; ++r) rhs[n + r] = bn[r];
+      for (int sweep = 0; sweep < 4; ++sweep) {
+        matvec(Kt.data(), dim, dim, z.data(), resid.data());
+        for (int i = 0; i < dim; ++i) resid[i] = rhs[i] - resid[i];
+        lu_solve_vec(K, kpiv, dim, resid.data(), corr.data());
+        for (int i = 0; i < dim; ++i) z[i] += corr[i];
+      }
+      for (int i = 0; i < n; ++i) x[i] = z[i];
+    }
   }
+  std::memcpy(x_out, x.data(), sizeof(double) * n);
   return it;
 }
 

@@ -192,7 +192,8 @@ def _apply_pmat(coords: jax.Array, pmat: Optional[jax.Array], pfill: bool):
     if pmat is None:
         return coords, None
     if pfill:
-        filled = jnp.nan_to_num(coords, nan=0.0)
+        # fill ONLY NaN (nan_to_num would squash inf to finite)
+        filled = jnp.where(jnp.isnan(coords), 0.0, coords)
         return jtrjdot_g(filled, pmat), jnp.isnan(coords)
     return jtrjdot_g(coords, pmat), None
 
@@ -281,7 +282,7 @@ def _fused_augment_math(
         src = jnp.where(mask, 0.0, src)
     if postmat is not None:
         if postfill:
-            src = jnp.nan_to_num(src, nan=0.0)
+            src = jnp.where(jnp.isnan(src), 0.0, src)
         src = jtrjdot_g(src, postmat)
     full_coords = jnp.concatenate([coords, aug_coords], axis=1)
     full_forces = jnp.concatenate([forces + kbt * src, -kbt * resid], axis=1)
@@ -354,14 +355,14 @@ def _mat_fused_apply(
     if fill_c:
         part = jnp.any(cmat != 0.0, axis=0)
         bad_c = jnp.any(jnp.isnan(full_c) & part[None, :, None])
-        mc = jtrjdot_g(jnp.nan_to_num(full_c, nan=0.0), cmat)
+        mc = jtrjdot_g(jnp.where(jnp.isnan(full_c), 0.0, full_c), cmat)
     else:
         bad_c = jnp.asarray(False)
         mc = jtrjdot_g(full_c, cmat)
     if fill_f:
         part = jnp.any(fmat != 0.0, axis=0)
         bad_f = jnp.any(jnp.isnan(full_f) & part[None, :, None])
-        mf = jtrjdot_g(jnp.nan_to_num(full_f, nan=0.0), fmat)
+        mf = jtrjdot_g(jnp.where(jnp.isnan(full_f), 0.0, full_f), fmat)
     else:
         bad_f = jnp.asarray(False)
         mf = jtrjdot_g(full_f, fmat)

@@ -167,16 +167,7 @@ def run_sweep() -> None:
     assert np.all(np.isfinite(mf))
     value = n_frames / elapsed
     log(f"sweep fit: {elapsed:.3f}s -> {value:.1f} frames/s/chip")
-    print(
-        json.dumps(
-            {
-                "metric": "sweep_linear_qp_fit_frames_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(value / 125.0, 3),
-            }
-        )
-    )
+    _emit("sweep_linear_qp_fit_frames_per_sec_per_chip", value)
 
 
 def _staged_device_traj(fix):
@@ -294,13 +285,21 @@ def run_gauss() -> None:
     log(f"joptgauss fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
 
     # apply (re-noise + map) on the full device trajectory
+    def _force(o):
+        # block_until_ready alone can return before remote execution ends
+        # (CLAUDE.md); force a value so apply timings are real
+        jax.block_until_ready((o.coords, o.forces))
+        float(jnp.sum(o.forces[:1]))
+
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     out = tmap(traj)
-    jax.block_until_ready((out.coords, out.forces))
+    _force(out)
     t_apply0 = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = tmap(traj)
-    jax.block_until_ready((out.coords, out.forces))
+    _force(out)
     t_apply = time.perf_counter() - t0
     assert isinstance(out.forces, jax.Array), "apply left the device"
     log(f"joptgauss apply: {t_apply:.3f}s (first {t_apply0:.3f}s)")

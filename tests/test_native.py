@@ -62,9 +62,15 @@ def test_native_admm_matches_kkt():
     rng = np.random.default_rng(3)
     for trial in range(3):
         P, A, b = _problem(rng, n=10, m=3)
-        x_admm = admm_solve_native(P, A, b)
+        # polish=False: the RAW ADMM iterate must independently agree with
+        # the direct KKT solver (with polish on, the comparison would just
+        # test the KKT refinement against itself)
+        x_admm = admm_solve_native(P, A, b, polish=False, eps_abs=1e-11)
         x_kkt = eqp_solve_native(P, A, b[:, None])[:, 0]
         np.testing.assert_allclose(x_admm, x_kkt, atol=1e-6)
+        # polished result refines the iterate to KKT accuracy as well
+        x_pol = admm_solve_native(P, A, b, max_iter=50)
+        np.testing.assert_allclose(x_pol, x_kkt, atol=1e-8)
 
 
 @needs_native

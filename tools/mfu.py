@@ -15,8 +15,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 from aggforce_tpu import LinearMap  # noqa: E402
-from aggforce_tpu.qp.featlinearmap import id_feat  # noqa: E402
-from aggforce_tpu.qp.fusedfeat import GBFeatSpec, _basis_centers  # noqa: E402
+from aggforce_tpu.qp.fusedfeat import (  # noqa: E402
+    GBFeatSpec,
+    group_factorization,
+)
 from aggforce_tpu.ops import pallas_gram as pg  # noqa: E402
 from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms  # noqa: E402
 from aggforce_tpu.utils.synth import synthesize_protein_fixture  # noqa: E402
@@ -34,13 +36,10 @@ cmap = LinearMap(ca_map_from_pdb(PDB), n_fg_sites=n_atoms(PDB))
 constraints = set(fix["constraint_groups"])
 spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=7, width=1.0)
 
-ids = id_feat(fix["coords"], cmap, constraints, return_ids=True)
-G = int(ids.max()) + 1
-onehot = np.zeros((cmap.n_fg_sites, G), np.float32)
-onehot[np.arange(cmap.n_fg_sites), ids] = 1.0
-counts = onehot.sum(0)
-group_mean = (onehot / np.maximum(counts, 1)).T.astype(np.float32)
-centers = _basis_centers(spec).astype(np.float32)
+geom = group_factorization(cmap, spec, constraints)
+onehot, group_mean = geom["onehot"], geom["group_mean"]
+counts, centers = geom["counts"], geom["centers"]
+G = onehot.shape[1]
 
 S = cmap.n_cg_sites
 K = spec.n_basis
@@ -66,7 +65,8 @@ gpos, cg, fg, centers_flat, kbt_counts_flat = jax.jit(pg.pack_operands, static_a
 jax.block_until_ready((gpos, cg, fg))
 g_pad = gpos.shape[-1]
 k_pad = g_pad * (1 + K)
-clip = float(np.exp(-((spec.outer / spec.width) ** 2) / 4.0))
+clip = spec.clip  # MUST match production: clip is a static jit arg baked
+# into the Mosaic payload — a different value times a different executable
 
 print(f"T={frames} (pad {t_pad}) S={S} G={G} (pad {g_pad}) "
       f"K_exp={k_exp} (pad {k_pad}) t_block={t_block}")

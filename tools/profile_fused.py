@@ -11,12 +11,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 from aggforce_tpu import LinearMap  # noqa: E402
-from aggforce_tpu.qp.featlinearmap import id_feat  # noqa: E402
 from aggforce_tpu.qp.fusedfeat import (  # noqa: E402
     GBFeatSpec,
-    _basis_centers,
     _constraint_rows,
     _scan_gram,
+    group_factorization,
 )
 from aggforce_tpu.ops.eqp import batched_eqp_solve_auglag  # noqa: E402
 from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms  # noqa: E402
@@ -30,13 +29,10 @@ cmap = LinearMap(ca_map_from_pdb(PDB), n_fg_sites=n_atoms(PDB))
 constraints = set(fix["constraint_groups"])
 spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=7, width=1.0)
 
-ids = id_feat(fix["coords"], cmap, constraints, return_ids=True)
-G = int(ids.max()) + 1
-onehot = np.zeros((cmap.n_fg_sites, G), np.float32)
-onehot[np.arange(cmap.n_fg_sites), ids] = 1.0
-counts = onehot.sum(0)
-group_mean = (onehot / np.maximum(counts, 1)).T.astype(np.float32)
-centers = _basis_centers(spec).astype(np.float32)
+geom = group_factorization(cmap, spec, constraints)
+onehot, group_mean = geom["onehot"], geom["group_mean"]
+counts, centers = geom["counts"], geom["centers"]
+G = onehot.shape[1]
 print(f"N={cmap.n_fg_sites} S={cmap.n_cg_sites} G={G} "
       f"K_exp={spec.n_basis*G + G}")
 
@@ -50,14 +46,22 @@ forces = np.concatenate([fix["forces"], np.zeros((pad, cmap.n_fg_sites, 3), np.f
 mask = np.concatenate([np.ones(frames), np.zeros(pad)]).astype(np.float32)
 
 
+def _fence(out) -> None:
+    # block_until_ready can return before remote execution finishes
+    # (CLAUDE.md gotchas); forcing the value of a freshly dispatched op is
+    # a true fence because TPU streams execute in dispatch order
+    jax.block_until_ready(out)
+    float(jnp.zeros(()) + 1.0)
+
+
 def timed(name, fn, n=3):
     out = fn()
-    jax.block_until_ready(out)
+    _fence(out)
     best = 1e9
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _fence(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{name:<28s} {best*1e3:9.2f} ms")
     return out
@@ -106,5 +110,6 @@ tc = 20
 for s in range(S):
     b[s, np.arange(tc) * S + s, 0] = 1.0
 b = jnp.asarray(b)
-solve = timed("batched auglag solve", lambda: batched_eqp_solve_auglag(gram_l2, rows, b))
+solve = timed("batched auglag solve", lambda: batched_eqp_solve_auglag(
+    gram_l2, rows, b, iters=40))  # production solver_iters=40
 print("coef finite:", bool(jnp.isfinite(solve).all()))
