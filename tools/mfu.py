@@ -81,6 +81,9 @@ def timed(name, fn, n=20):
     """
     out = fn()
     jax.block_until_ready(out)
+    float(jnp.sum(out))  # compile/warm-up fence: block_until_ready alone
+    # can return while the (possibly minutes-long) remote compile is still
+    # in flight, which would bill it to the timing loop
     t0 = time.perf_counter()
     outs = [fn() for _ in range(n)]
     jax.block_until_ready(outs)
