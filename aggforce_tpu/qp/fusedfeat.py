@@ -765,6 +765,81 @@ def _fit_coefs_e2e(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
+    ),
+)
+def _fit_coefs_batch_e2e(
+    coords: jax.Array,  # (T, N, 3) — unpadded
+    forces: jax.Array,
+    frame_idx_batch: jax.Array,  # (B, F) constraint-frame indices per fit
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    t_pad: int,
+    solver_delta: jax.Array,
+    solver_iters: int,
+    use_pallas: bool,
+    t_block: int = 256,
+):
+    """B fits over the SAME trajectory with different constraint samples,
+    in ONE program that computes the Gram once.
+
+    The Gram — the trajectory-sized, MXU-bound stage — does not depend on
+    which frames anchor the orthogonality constraints, so a batch of
+    bootstrap fits shares it exactly: B fits cost one Gram pass plus B
+    vmapped constraint assemblies and solves, in one dispatch and one
+    fetch. Measured at CLN scale the marginal fit is solver-bound
+    (~1.7 ms/problem x S sites in the batched direct solve — the Gram and
+    all per-fit transport amortize away); dispatching B independent fits
+    instead pays B gram passes and B dispatch round-trips.
+    """
+    t = coords.shape[0]
+    dtype = jnp.float32
+    pad_spec = ((0, t_pad - t), (0, 0), (0, 0))
+    coords_p = jnp.pad(coords.astype(dtype), pad_spec)
+    forces_p = jnp.pad(forces.astype(dtype), pad_spec)
+    mask = (jnp.arange(t_pad) < t).astype(dtype)
+    # Gram once; the single-frame constraint system computed alongside is
+    # discarded (negligible — one frame's rows)
+    parts = (
+        _pallas_fit_parts(
+            coords_p, forces_p, mask, coords_p[:1], cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec,
+            t_block=t_block,
+        )
+        if use_pallas
+        else _fused_fit_parts(
+            coords_p, forces_p, mask, coords_p[:1], cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec, n_chunks,
+        )
+    )
+    gram = parts[0]
+
+    def per_fit(frame_idx):
+        constr_coords = coords_p[frame_idx]
+        a_rows, b = _assemble_constraint_system(
+            constr_coords, cmap_mat, group_mean, onehot, counts, centers,
+            spec, dtype,
+        )
+        coefs, resids = batched_eqp_solve_auglag(
+            gram, a_rows, b[..., None], delta=solver_delta,
+            iters=solver_iters, return_resid=True,
+        )
+        return coefs[..., 0], jnp.max(resids), a_rows, b
+
+    coefs_b, resid_b, rows_b, b_b = jax.vmap(per_fit)(frame_idx_batch)
+    return coefs_b, resid_b, gram, rows_b, b_b
+
+
 def group_factorization(
     coord_map: LinearMap, spec: GBFeatSpec, constraints: Constraints
 ) -> dict:
@@ -856,20 +931,24 @@ def fused_gb_linear_map_batch(
     use_pallas: Union[bool, str] = "auto",
     flush_every: int = 16,
 ):
-    """Fit one map per constraint-sample seed, pipelined on device.
+    """Fit one map per constraint-sample seed, sharing ONE Gram pass.
 
-    Dispatches fits asynchronously (same executable, different constraint
-    frames) and fetches coefficients + residuals in one host sync per
-    ``flush_every`` fits — on remote-attached devices this amortizes the
-    per-call transport latency across the batch, exposing the device-only
-    fit throughput, while bounding live HBM (each in-flight fit holds its
-    per-site Grams and constraint rows until packaged). Use cases:
-    bootstrap uncertainty over the sampled orthogonality frames, or simply
-    fitting many maps fast. Returns a list of CLAFTMaps (one per seed),
-    each convergence-checked exactly like :func:`fused_gb_linear_map`.
+    Every fit in the batch runs over the same trajectory — the Gram (the
+    trajectory-sized, MXU-bound stage) is identical across seeds, so each
+    window of ``flush_every`` seeds dispatches ONE program that computes
+    the Gram once and vmaps only the per-seed constraint assemblies and
+    solves (:func:`_fit_coefs_batch_e2e`), then fetches all coefficients +
+    residuals in one host sync. The marginal fit therefore costs a tiny
+    batched solve instead of a full Gram pass plus a dispatch round-trip.
+    ``flush_every`` bounds live HBM (each window holds its B x per-site
+    constraint systems until packaged). Use cases: bootstrap uncertainty
+    over the sampled orthogonality frames, or simply fitting many maps
+    fast. Returns a list of CLAFTMaps (one per seed), each
+    convergence-checked exactly like :func:`fused_gb_linear_map`.
     """
     if constraints is None:
         constraints = set()
+    seeds = list(seeds)
     setup = _prepare_fused_setup(
         traj, coord_map, spec, constraints, chunk_size, None, use_pallas
     )
@@ -891,47 +970,45 @@ def fused_gb_linear_map_batch(
         jnp.asarray(l2_regularization, dtype=dtype),
     )
     maps = []
-    pending = []
-
-    def drain() -> None:
-        # one sync per flush window; the per-fit QP pieces (gram, a_rows,
-        # b — needed only by the rare f64 escalation) are released as each
-        # fit is packaged, so live HBM is bounded by the window, not by
-        # len(seeds)
-        fetched = jax.device_get([(r[0], r[1]) for r in pending])
-        for (coefs_np, resid_val), (_, _, gram, a_rows, b) in zip(
-            fetched, pending
-        ):
+    window = max(1, int(flush_every))
+    for lo in range(0, len(seeds), window):
+        chunk_seeds = seeds[lo : lo + window]
+        idx = np.stack(
+            [
+                np.random.default_rng(seed).choice(t, size=n_cf, replace=False)
+                for seed in chunk_seeds
+            ]
+        )
+        n_valid = len(chunk_seeds)
+        if n_valid < window and lo > 0:
+            # pad the tail window so it reuses the full-window executable
+            # (padded fits are discarded); a sole small batch compiles its
+            # own (cheaper) program instead
+            idx = np.concatenate(
+                [idx, np.repeat(idx[-1:], window - n_valid, axis=0)]
+            )
+        coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_e2e(
+            coords_dev,
+            forces_dev,
+            jnp.asarray(idx),
+            *common,
+            spec,
+            setup["n_chunks"],
+            t_pad,
+            jnp.asarray(solver_delta, dtype=dtype),
+            solver_iters,
+            setup["use_pallas"],
+            t_block=t_blk,
+        )
+        fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
+        for i in range(n_valid):
             maps.append(
                 _package_fused_map(
-                    np.asarray(coefs_np), float(resid_val), gram, a_rows, b,
-                    coord_map, setup["onehot"], setup["centers"], kbt, spec,
-                    resid_tol,
+                    np.asarray(fetched_coefs[i]), float(fetched_resid[i]),
+                    gram, rows_b[i], b_b[i], coord_map, setup["onehot"],
+                    setup["centers"], kbt, spec, resid_tol,
                 )
             )
-        pending.clear()
-
-    for seed in seeds:
-        rng = np.random.default_rng(seed)
-        frame_idx = rng.choice(t, size=n_cf, replace=False)
-        pending.append(
-            _fit_coefs_e2e(
-                coords_dev,
-                forces_dev,
-                jnp.asarray(frame_idx),
-                *common,
-                spec,
-                setup["n_chunks"],
-                t_pad,
-                jnp.asarray(solver_delta, dtype=dtype),
-                solver_iters,
-                setup["use_pallas"],
-                t_block=t_blk,
-            )
-        )
-        if len(pending) >= flush_every:
-            drain()
-    drain()
     return maps
 
 

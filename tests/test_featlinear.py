@@ -303,3 +303,33 @@ def test_fused_batch_matches_single(waterdimer):
         _, f_b = tmap_b.map_arrays(coords[:16], forces[:16])
         _, f_s = tmap_s.map_arrays(coords[:16], forces[:16])
         np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)
+
+
+def test_fused_batch_windows_and_tail(waterdimer):
+    """Window splitting + tail padding must preserve per-seed results."""
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:96].astype(np.float32)
+    forces = waterdimer["forces"][:96].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    kw = dict(kbt=0.5, spec=spec, constraints=set(), l2_regularization=1e3)
+    seeds = [11, 12, 13, 14, 15]  # flush_every=2 -> windows 2+2+1 (padded tail)
+    batch = fused_gb_linear_map_batch(traj, cmap, seeds=seeds, flush_every=2, **kw)
+    assert len(batch) == len(seeds)
+    for seed, tmap_b in zip(seeds, batch):
+        tmap_s = fused_gb_linear_map(
+            traj, cmap, constraint_rng=np.random.default_rng(seed), **kw
+        )
+        _, f_b = tmap_b.map_arrays(coords[:8], forces[:8])
+        _, f_s = tmap_s.map_arrays(coords[:8], forces[:8])
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)
