@@ -1002,10 +1002,17 @@ def fused_gb_linear_map_batch(
         )
         fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
         for i in range(n_valid):
+            # defer the per-fit constraint-system slicing: eager rows_b[i]
+            # dispatches two gather programs per fit (and compiles a tiny
+            # executable per distinct index), all for data only the rare
+            # f64 escalation consumes
             maps.append(
                 _package_fused_map(
                     np.asarray(fetched_coefs[i]), float(fetched_resid[i]),
-                    gram, rows_b[i], b_b[i], coord_map, setup["onehot"],
+                    gram,
+                    (lambda i=i: rows_b[i]),
+                    (lambda i=i: b_b[i]),
+                    coord_map, setup["onehot"],
                     setup["centers"], kbt, spec, resid_tol,
                 )
             )
@@ -1168,7 +1175,12 @@ def _package_fused_map(
     spec, resid_tol,
 ) -> CLAFTMap:
     """Fetch coefficients + residual (the fit's single host sync), escalate
-    unconverged solves to float64, and wrap the result as a CLAFTMap."""
+    unconverged solves to float64, and wrap the result as a CLAFTMap.
+
+    ``a_rows``/``b`` may be zero-argument callables producing the arrays;
+    they are only materialized on the (rare) escalation path, so batch
+    callers can defer their per-fit device slicing entirely.
+    """
     coefs_np, resid_val = jax.device_get((coefs, solver_resid))
     coefs_np = np.asarray(coefs_np)
     resid_val = float(resid_val)
@@ -1181,8 +1193,8 @@ def _package_fused_map(
         from ..ops.eqp import eqp_solve_host
 
         gram_h = np.asarray(gram, dtype=np.float64)
-        rows_h = np.asarray(a_rows, dtype=np.float64)
-        b_h = np.asarray(b, dtype=np.float64)
+        rows_h = np.asarray(a_rows() if callable(a_rows) else a_rows, dtype=np.float64)
+        b_h = np.asarray(b() if callable(b) else b, dtype=np.float64)
         coefs_np = np.stack(
             [
                 eqp_solve_host(gram_h[s], rows_h[s], b_h[s][:, None])[:, 0]

@@ -333,3 +333,26 @@ def test_fused_batch_windows_and_tail(waterdimer):
         _, f_b = tmap_b.map_arrays(coords[:8], forces[:8])
         _, f_s = tmap_s.map_arrays(coords[:8], forces[:8])
         np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)
+
+
+def test_fused_batch_escalation_materializes_deferred_rows(waterdimer):
+    """Batch fits that miss tolerance must materialize their deferred
+    constraint systems and recover via the float64 oracle."""
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map_batch
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:64].astype(np.float32)
+    forces = waterdimer["forces"][:64].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    batch = fused_gb_linear_map_batch(
+        traj, cmap, kbt=0.5, spec=spec, seeds=[1, 2], constraints=set(),
+        l2_regularization=1e3, resid_tol=-1.0,  # force escalation everywhere
+    )
+    for tmap in batch:
+        _, mf = tmap.map_arrays(coords[:8], forces[:8])
+        assert np.all(np.isfinite(mf))

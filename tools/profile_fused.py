@@ -48,10 +48,11 @@ mask = np.concatenate([np.ones(frames), np.zeros(pad)]).astype(np.float32)
 
 def _fence(out) -> None:
     # block_until_ready can return before remote execution finishes
-    # (CLAUDE.md gotchas); forcing the value of a freshly dispatched op is
-    # a true fence because TPU streams execute in dispatch order
+    # (CLAUDE.md gotchas); force a value DERIVED from the output so the
+    # fence holds even if independent executables ever overlap
     jax.block_until_ready(out)
-    float(jnp.zeros(()) + 1.0)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(jnp.ravel(leaf)[:1]))
 
 
 def timed(name, fn, n=3):
