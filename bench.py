@@ -438,12 +438,16 @@ def run_featurized() -> None:
         traj, cmap, kbt=kbt, spec=spec, seeds=range(500, 500 + n_batch),
         constraints=constraints, l2_regularization=1e3, chunk_size=2048,
     )
-    t0 = time.perf_counter()
-    fused_gb_linear_map_batch(
-        traj, cmap, kbt=kbt, spec=spec, seeds=range(200, 200 + n_batch),
-        constraints=constraints, l2_regularization=1e3, chunk_size=2048,
-    )
-    t_batch = time.perf_counter() - t0
+    batch_times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        fused_gb_linear_map_batch(
+            traj, cmap, kbt=kbt, spec=spec,
+            seeds=range(200 + rep * n_batch, 200 + (rep + 1) * n_batch),
+            constraints=constraints, l2_regularization=1e3, chunk_size=2048,
+        )
+        batch_times.append(time.perf_counter() - t0)
+    t_batch = min(batch_times)
     pipelined = n_batch * n_frames / t_batch
     log(f"pipelined batch of {n_batch} fits: {t_batch:.3f}s "
         f"({t_batch / n_batch * 1e3:.1f} ms/fit, {pipelined:.0f} frames/s)")
