@@ -53,18 +53,14 @@ def _enable_compile_cache() -> None:
     checkout/process starts warm, and the persistence threshold is 0 so the
     tiny ops are cached too.
     """
-    import jax
+    from aggforce_tpu.utils.cache import enable_compile_cache
 
     cache_dir = os.environ.get(
         "AGGFORCE_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:  # cache is best-effort
-        log(f"compilation cache unavailable: {e}")
+    if enable_compile_cache(cache_dir) is None:
+        log("compilation cache unavailable")
 
 
 def build_fixture(n_frames: int, warm=None):
