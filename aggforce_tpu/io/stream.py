@@ -248,7 +248,7 @@ def _feat_gram_update(
 @partial(jax.jit, static_argnames=("spec",))
 def _feat_gram_finish(gram, constr_coords, cmap_mat, gm, oh, ct, cen, spec):
     """Constraint rows + batched multi-site solve on the final Grams."""
-    from ..ops.eqp import batched_eqp_solve_auglag
+    from ..ops.eqp import batched_eqp_solve_shared
 
     dtype = gram.dtype
     s_dim = cmap_mat.shape[0]
@@ -262,10 +262,12 @@ def _feat_gram_finish(gram, constr_coords, cmap_mat, gm, oh, ct, cen, spec):
     b = jnp.broadcast_to(
         eye[:, None, :], (s_dim, constr_coords.shape[0], s_dim)
     ).reshape(s_dim, -1)
-    coefs, resids = batched_eqp_solve_auglag(
-        gram, a_rows, b[..., None], return_resid=True
+    # same solver as the in-memory fused fit (fit-batch of one), so the
+    # streamed fit's numerical contract ("identical optimization") holds
+    coefs, resids = batched_eqp_solve_shared(
+        gram, a_rows[None], b[None, ..., None], return_resid=True
     )
-    return coefs[..., 0], jnp.max(resids), a_rows, b
+    return coefs[0, ..., 0], jnp.max(resids), a_rows, b
 
 
 def fused_gb_linear_map_streamed(

@@ -8,4 +8,5 @@ from .eqp import (
     eqp_solve_host,
     batched_eqp_solve,
     batched_eqp_solve_auglag,
+    batched_eqp_solve_shared,
 )

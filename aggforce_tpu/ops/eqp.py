@@ -14,21 +14,21 @@ constraints here are *equality only*, the KKT conditions are linear:
 so a factorize-once/solve-many linear solve replaces the iterative ADMM
 entirely. This module provides:
 
-  * :func:`eqp_solve` — jitted multi-RHS KKT solve with OSQP-style diagonal
-    regularization (handles rank-deficient / redundant constraint rows, which
-    occur e.g. when constraint frames are sampled from frame-independent
-    features) plus iterative refinement against the *unregularized* KKT
-    operator — the same polish-refinement scheme OSQP uses, which converges to
-    the exact solution for consistent systems while keeping every shape static
-    for XLA.
-  * :func:`batched_eqp_solve` — vmap of the above over a leading batch axis
-    (per-CG-site problems with distinct P/A/b solved in parallel on device).
-  * :func:`eqp_solve_host` — float64 numpy/LAPACK twin used as an accuracy
-    oracle and as the default for small host-side fits.
-
-All entries of B are solved against the same (P, A) factorization, so the
-reference's per-site loop becomes one factorization + one triangular solve
-with n_cg right-hand sides.
+  * :func:`eqp_solve_auglag` / :func:`batched_eqp_solve_auglag` — the
+    production device solver: direct range-space (Schur-complement) solve
+    with Cholesky factorizations only, lazy regularization fallbacks
+    (``lax.cond`` — well-conditioned batches pay ONE factorization), and an
+    early-exit refinement loop (``lax.while_loop`` on the measured
+    constraint violation).
+  * :func:`batched_eqp_solve_shared` — many fits sharing the same per-site
+    cost matrices P: each P is factorized ONCE and reused across the whole
+    fit batch (the shared-Gram bootstrap/batch path).
+  * :func:`eqp_solve` / :func:`batched_eqp_solve` — LU-based KKT twins kept
+    for CPU/GPU parity testing. On TPU they ROUTE to the auglag solver:
+    XLA's TPU lowering of (batched) pivoted LU takes minutes to compile at
+    production sizes, so the LU path must never reach a TPU executable.
+  * :func:`eqp_solve_host` — float64 numpy/LAPACK oracle used for accuracy
+    checks and as the escalation target of every production fit.
 """
 
 from functools import partial
@@ -48,22 +48,199 @@ from .blocked_chol import cho_solve_blocked, cholesky_blocked
 # compile service. Small problems keep the unrolled path (faster, tiny).
 _BLOCKED_N_THRESHOLD = 256
 
+# Refinement sweeps stop once the equilibrated constraint violation falls
+# below this (comfortably below the 1e-4 escalation tolerance, at the f32
+# noise floor); the sweep cap bounds the loop on infeasible systems.
+_REFINE_TOL = 5e-7
+_MAX_REFINE_SWEEPS = 8
 
-def _kkt(P: jax.Array, A: jax.Array, delta: jax.Array, regularized: bool):
-    """Assemble the (regularized) KKT matrix."""
-    n = P.shape[0]
-    m = A.shape[0]
-    if regularized:
-        top = jnp.concatenate(
-            [P + delta * jnp.eye(n, dtype=P.dtype), A.T], axis=1
-        )
-        bot = jnp.concatenate(
-            [A, -delta * jnp.eye(m, dtype=P.dtype)], axis=1
-        )
-    else:
-        top = jnp.concatenate([P, A.T], axis=1)
-        bot = jnp.concatenate([A, jnp.zeros((m, m), dtype=P.dtype)], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+
+def _factor_spd(M: jax.Array) -> jax.Array:
+    """Batched lower-Cholesky of (b, n, n) SPD matrices, compile-lean."""
+    if M.shape[-1] > _BLOCKED_N_THRESHOLD:
+        return jax.vmap(cholesky_blocked)(M)
+    return jax.vmap(lambda x: jsl.cho_factor(x, lower=True)[0])(M)
+
+
+def _solve_spd(chol: jax.Array, B: jax.Array) -> jax.Array:
+    """Batched cho_solve for (b, n, n) factors and (b, n, k) right sides."""
+    if chol.shape[-1] > _BLOCKED_N_THRESHOLD:
+        return jax.vmap(cho_solve_blocked)(chol, B)
+    return jax.vmap(lambda c, b: jsl.cho_solve((c, True), b))(chol, B)
+
+
+def _lazy_shift_factor(
+    M: jax.Array, shifts, factor=_factor_spd
+) -> jax.Array:
+    """Factor (b, n, n) SPD matrices, escalating diagonal shifts lazily.
+
+    Tries ``shifts[0]`` for the whole batch; only when some problem's
+    factorization comes back non-finite does a ``lax.cond`` branch compute
+    the next level and substitute it for exactly the failing problems. A
+    well-conditioned batch therefore pays ONE factorization instead of one
+    per shift level (the earlier always-compute-both design doubled the
+    dominant Cholesky cost of every fit). ``shifts`` entries are (b,)- or
+    scalar-shaped shift magnitudes.
+    """
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+
+    def shifted(s):
+        s = jnp.asarray(s, M.dtype)
+        s = jnp.broadcast_to(s, (M.shape[0],))
+        return M + s[:, None, None] * eye
+
+    chol = factor(shifted(shifts[0]))
+    for level in shifts[1:]:
+        bad = ~jnp.isfinite(chol).all(axis=(1, 2))  # (b,)
+
+        def escalate(chol=chol, level=level, bad=bad):
+            repl = factor(shifted(level))
+            return jnp.where(bad[:, None, None], repl, chol)
+
+        chol = jax.lax.cond(bad.any(), escalate, lambda chol=chol: chol)
+    return chol
+
+
+def _schur_tail(
+    chol_m: jax.Array,  # (b, n, n) factor of the augmented operator
+    An: jax.Array,  # (b, m, n) row-equilibrated constraints
+    Bn: jax.Array,  # (b, m, k) equilibrated targets
+    delta: float,
+    delta_fallback: float,
+    iters: int,
+    refine_tol: float,
+):
+    """Range-space solve + early-exit refinement shared by all auglag paths.
+
+    Z = M^{-1} A^T via one batched multi-RHS Cholesky solve, lambda from the
+    m x m Schur complement S = A M^{-1} A^T (factored with the same lazy
+    shift escalation — redundant constraint rows occur routinely for
+    frame-sampled orthogonality systems), x = Z lambda, then refinement
+    sweeps on the constraint residual that stop as soon as the whole batch
+    is below ``refine_tol`` (measured convergence replaces the old fixed
+    sweep count — typically 1-2 sweeps instead of 8, each sweep costing two
+    batched triangular substitutions that are latency-bound on TPU).
+    Returns (x, per-problem max |An x - Bn|).
+    """
+    dtype = An.dtype
+    m = An.shape[1]
+    Z = _solve_spd(chol_m, jnp.swapaxes(An, 1, 2))  # (b, n, m)
+    S = jnp.matmul(An, Z, precision="highest")
+    # f32 rounding through Z leaves S slightly asymmetric and, for
+    # near-dependent sampled rows, indefinite by O(eps * cond): symmetrize
+    # and escalate the diagonal shift only as far as each problem needs —
+    # the refinement loop removes the shift's bias on consistent systems.
+    S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+    s_scale = (
+        jnp.trace(S, axis1=1, axis2=2) / m + jnp.asarray(1e-30, dtype)
+    )  # (b,)
+    chol_s = _lazy_shift_factor(
+        S,
+        [s_scale * delta, s_scale * delta_fallback, s_scale * 3e-2],
+        factor=jax.vmap(lambda x: jsl.cho_factor(x, lower=True)[0]),
+    )
+
+    def solve_s(r):
+        return jax.vmap(lambda c, b: jsl.cho_solve((c, True), b))(chol_s, r)
+
+    lam = solve_s(Bn)
+    x = jnp.matmul(Z, lam, precision="highest")
+    resid = Bn - jnp.matmul(An, x, precision="highest")
+
+    max_sweeps = max(0, min(iters, _MAX_REFINE_SWEEPS))
+
+    def cond(carry):
+        _, r, i = carry
+        return (i < max_sweeps) & (jnp.max(jnp.abs(r)) > refine_tol)
+
+    def body(carry):
+        x, r, i = carry
+        # per-problem masking: a converged problem receives NO further
+        # updates even while its batch neighbors keep refining. This makes
+        # each problem's solution independent of batch composition (a
+        # single fit and the same fit inside a batch window run the same
+        # update sequence — the batch-vs-single parity tests rely on it),
+        # and matters numerically because post-convergence sweeps move the
+        # solution within the weakly-determined subspace by O(resid/s_min).
+        done = jnp.max(jnp.abs(r), axis=(1, 2)) <= refine_tol  # (b,)
+        dlam = solve_s(r)
+        step = jnp.matmul(Z, dlam, precision="highest")
+        x = jnp.where(done[:, None, None], x, x + step)
+        r_new = Bn - jnp.matmul(An, x, precision="highest")
+        r = jnp.where(done[:, None, None], r, r_new)
+        return x, r, i + 1
+
+    x, resid, _ = jax.lax.while_loop(cond, body, (x, resid, 0))
+    per_problem = jnp.max(jnp.abs(resid), axis=(1, 2))
+    return x, per_problem
+
+
+def _equilibrate(P, A, B):
+    """Batched normalization: unit-mean-trace P, unit-norm constraint rows.
+
+    Scaling the objective does not move the minimizer and row-scaling
+    consistent constraints does not change the feasible set; without this,
+    data-scale imbalance (force Grams reach 1e9+) makes the relative
+    regularization swamp the constraint rows.
+    """
+    dtype = P.dtype
+    n = P.shape[-1]
+    p_scale = (
+        jnp.trace(P, axis1=1, axis2=2) / n + jnp.asarray(1e-30, dtype)
+    )
+    Pn = P / p_scale[:, None, None]
+    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 1, 2))
+    row_norm = jnp.linalg.norm(A, axis=2, keepdims=True) + jnp.asarray(
+        1e-30, dtype
+    )
+    return Pn, A / row_norm, B / row_norm
+
+
+@partial(jax.jit, static_argnames=("iters", "return_resid"))
+def batched_eqp_solve_auglag(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    rho: float = 0.0,
+    delta: float = 1e-6,
+    delta_fallback: float = 3e-4,
+    iters: int = 10,
+    return_resid: bool = False,
+):
+    r"""Batched direct range-space equality-QP solve (Cholesky only).
+
+    Solves min x^T P x s.t. A x = b per batch entry through the augmented
+    operator M = P + rho A^T A + delta I (same minimizer; rho bounds the
+    condition number along constraint directions). P: (s, n, n); A:
+    (s, m, n); B: (s, m, k) -> (s, n, k). The batch is native — lazy
+    regularization fallbacks branch on scalar batch-wide predicates, so a
+    well-conditioned batch pays exactly one big factorization per problem
+    (a vmapped per-problem ``cond`` would degenerate to computing every
+    level; reference-accuracy analogue: OSQP eps_abs=1e-7 + polish,
+    reference qp/qplinear.py:21-27).
+
+    With ``return_resid=True`` also returns the (s,) per-problem max
+    equilibrated constraint violation ``max |An x - Bn|`` — the convergence
+    diagnostic callers use to escalate finite-but-unconverged solves to the
+    float64 oracle.
+    """
+    dtype = P.dtype
+    Pn, An, Bn = _equilibrate(P, A, B)
+    rho = jnp.asarray(rho, dtype)
+    # The rho*A^T A term keeps M well-conditioned along constraint
+    # directions even when P is (near-)singular there; the minimizer of
+    # x^T P x s.t. Ax = b is unchanged by adding rho|Ax|^2.
+    M = Pn + rho * jnp.matmul(
+        jnp.swapaxes(An, 1, 2), An, precision="highest"
+    )
+    chol_m = _lazy_shift_factor(M, [delta, delta_fallback])
+    x, resid = _schur_tail(
+        chol_m, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
+    )
+    if return_resid:
+        return x, resid
+    return x
 
 
 @partial(jax.jit, static_argnames=("iters", "return_resid"))
@@ -71,177 +248,101 @@ def eqp_solve_auglag(
     P: jax.Array,
     A: jax.Array,
     B: jax.Array,
-    rho: float = 30.0,
+    rho: float = 0.0,
     delta: float = 1e-6,
     delta_fallback: float = 3e-4,
     iters: int = 10,
     return_resid: bool = False,
 ):
-    r"""Direct range-space equality-QP solve (Cholesky only, multi-RHS).
+    """Single-problem :func:`batched_eqp_solve_auglag` (batch of one).
 
-    Solves min x^T P x s.t. A x = b through the augmented operator
-    M = P + rho A^T A + delta I (same minimizer; rho bounds the condition
-    number along constraint directions): Z = M^{-1} A^T via one multi-RHS
-    Cholesky solve, lambda from the m x m Schur complement A M^{-1} A^T,
-    x = Z lambda, then a short constraint-residual refinement loop. Uses
-    unpivoted Cholesky factorizations only — on TPU this runs and compiles
-    orders of magnitude faster than pivoted-LU KKT solves, and the direct
-    structure has no iterative-convergence failure mode on stiff problems
-    (an earlier dual-iteration variant needed ~40 triangular solves per
-    problem and could stall below f32 tolerance). Handles redundant
-    constraint rows (diagonal shift on the Schur complement, removed by the
-    refinement) and PSD P.
-
-    Regularization is two-level: ``delta`` (tiny, negligible bias) is tried
-    first; float32 Gram accumulation can leave ~1e-4-scale indefiniteness on
-    the normalized matrix, and only when that makes the small-delta Cholesky
-    non-finite does the solve fall back to ``delta_fallback`` — so
-    well-behaved problems keep full accuracy while noisy ones stay finite.
-    ``iters`` caps the refinement sweeps (clamped to 8 — convergence is
-    linear with a tiny contraction factor).
-
-    With ``return_resid=True`` also returns ``max |An x - Bn|`` over the
-    row-equilibrated constraint system — a scale-invariant convergence
-    diagnostic in the spirit of OSQP's ``eps_abs`` termination check
-    (reference qp/qplinear.py:21-27 polishes to eps_abs=1e-7); callers use
-    it to escalate finite-but-unconverged solves to the float64 oracle.
+    With ``return_resid=True`` the residual is a scalar.
     """
+    out = batched_eqp_solve_auglag(
+        P[None], A[None], B[None],
+        rho=rho, delta=delta, delta_fallback=delta_fallback, iters=iters,
+        return_resid=return_resid,
+    )
+    if return_resid:
+        x, resid = out
+        return x[0], resid[0]
+    return out[0]
+
+
+@partial(jax.jit, static_argnames=("iters", "return_resid"))
+def batched_eqp_solve_shared(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    delta: float = 1e-6,
+    delta_fallback: float = 3e-4,
+    iters: int = 10,
+    return_resid: bool = False,
+):
+    r"""Many equality-QP fits sharing per-site cost matrices P.
+
+    P: (s, n, n); A: (f, s, m, n); B: (f, s, m, k) -> (f, s, n, k): fit f of
+    site s solves min x^T P_s x s.t. A[f,s] x = B[f,s]. The shared-Gram
+    batch fit (:func:`aggforce_tpu.qp.fusedfeat.fused_gb_linear_map_batch`)
+    is exactly this shape — the Gram depends only on the trajectory while
+    the sampled orthogonality constraints differ per fit — so each site's
+    augmented operator M_s = P_s + delta I is factorized ONCE and reused by
+    every fit: f x s problems cost s big Cholesky factorizations instead of
+    f x s (and instead of 2 f s under the old always-compute-fallback
+    scheme). Because M cannot include the per-fit rho A^T A term, this is
+    the classic range-space Schur method; P must be positive definite
+    (feature Grams with l2 regularization are), and the per-problem
+    residual diagnostic catches any conditioning failure for float64
+    escalation exactly as in the per-problem solver.
+
+    With ``return_resid=True`` also returns the (f, s) residual matrix.
+    """
+    f, s = A.shape[0], A.shape[1]
     dtype = P.dtype
-    n = P.shape[0]
-    m = A.shape[0]
-    p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
-    Pn = P / p_scale
-    Pn = 0.5 * (Pn + Pn.T)
-    row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
+    n = P.shape[-1]
+    p_scale = (
+        jnp.trace(P, axis1=1, axis2=2) / n + jnp.asarray(1e-30, dtype)
+    )  # (s,)
+    Pn = P / p_scale[:, None, None]
+    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 1, 2))
+    chol_site = _lazy_shift_factor(Pn, [delta, delta_fallback])  # (s, n, n)
+
+    row_norm = jnp.linalg.norm(A, axis=3, keepdims=True) + jnp.asarray(
         1e-30, dtype
     )
-    An = A / row_norm
-    Bn = B / row_norm
-    rho = jnp.asarray(rho, dtype)
-    # Range-space (Schur-complement) direct solve. The augmented matrix
-    # keeps the rho*A^T A term: it bounds the condition number along the
-    # constraint directions exactly as in the dual iteration, and the
-    # minimizer of x^T P x s.t. Ax = b is unchanged by adding rho|Ax|^2.
-    M = Pn + rho * jnp.matmul(An.T, An, precision="highest")
-    eye = jnp.eye(n, dtype=dtype)
-    # both regularization levels factorize in ONE batched Cholesky: the
-    # fallback is computed anyway (no data-dependent control flow under
-    # jit), and one kernel instance instead of two nearly halves the
-    # Cholesky share of the program's backend compile time — a first-class
-    # cost on remote-compile backends (each big executable is seconds to
-    # build/load, and this solver is embedded in every fit program)
-    shifts = jnp.stack(
-        [jnp.asarray(delta, dtype), jnp.asarray(delta_fallback, dtype)]
+    An = (A / row_norm).reshape(f * s, A.shape[2], n)
+    Bn = (B / row_norm).reshape(f * s, B.shape[2], B.shape[3])
+    chol_m = jnp.broadcast_to(chol_site[None], (f,) + chol_site.shape).reshape(
+        f * s, n, n
     )
-    blocked = n > _BLOCKED_N_THRESHOLD
-    factor = (
-        cholesky_blocked
-        if blocked
-        else (lambda x: jsl.cho_factor(x, lower=True)[0])
+    x, resid = _schur_tail(
+        chol_m, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
     )
-    chols = jax.vmap(lambda s: factor(M + s * eye))(shifts)
-    ok = jnp.isfinite(chols[0]).all()
-    chol_l = jnp.where(ok, chols[0], chols[1])
-    # Z = M^{-1} A^T via ONE multi-RHS triangular solve pair — on TPU the
-    # sequential substitution cost amortizes over the m right-hand sides,
-    # unlike a triangular solve per dual iteration (~1.4 ms each, measured
-    # at batch 10 x n~800). The m x m Schur complement S = A M^{-1} A^T is
-    # then factorized once and the exact constrained solution is
-    #   x = Z lambda,  S lambda = b
-    # with redundancy handled by a tiny diagonal shift on S; a short
-    # constraint-residual refinement loop (GEMVs + m x m triangular solves)
-    # removes both that shift's bias and f32 rounding. Direct solve, so no
-    # dual-convergence failure mode on stiff problems.
-    Z = (
-        cho_solve_blocked(chol_l, An.T)
-        if blocked
-        else jsl.cho_solve((chol_l, True), An.T)
-    )  # (n, m)
-    S = jnp.matmul(An, Z, precision="highest")
-    # f32 rounding through Z leaves S slightly asymmetric and, when sampled
-    # constraint rows are near-dependent (rank-deficient row sets occur
-    # routinely for frame-sampled orthogonality rows), indefinite by
-    # O(eps * cond). Symmetrize and use a generous third-level shift — the
-    # refinement loop removes the shift's bias on every consistent system,
-    # so robustness here is free accuracy-wise.
-    S = 0.5 * (S + S.T)
-    eye_m = jnp.eye(m, dtype=dtype)
-    s_scale = jnp.trace(S) / m + jnp.asarray(1e-30, dtype)
-    # all three shift levels in one batched factorization (see above)
-    s_shifts = s_scale * jnp.stack(
-        [
-            jnp.asarray(delta, dtype),
-            jnp.asarray(delta_fallback, dtype),
-            jnp.asarray(3e-2, dtype),
-        ]
-    )
-    schols = jax.vmap(
-        lambda s: jsl.cho_factor(S + s * eye_m, lower=True)[0]
-    )(s_shifts)
-    ok_small = jnp.isfinite(schols[0]).all()
-    ok_mid = jnp.isfinite(schols[1]).all()
-    l_sel = jnp.where(
-        ok_small, schols[0], jnp.where(ok_mid, schols[1], schols[2])
-    )
-    chol_s = (l_sel, True)
-
-    lam = jsl.cho_solve(chol_s, Bn)
-    x = jnp.matmul(Z, lam, precision="highest")
-
-    def body(_, x):
-        r = Bn - jnp.matmul(An, x, precision="highest")
-        dlam = jsl.cho_solve(chol_s, r)
-        return x + jnp.matmul(Z, dlam, precision="highest")
-
-    x = jax.lax.fori_loop(0, min(iters, 8), body, x)
+    x = x.reshape(f, s, n, -1)
     if return_resid:
-        resid = jnp.max(
-            jnp.abs(Bn - jnp.matmul(An, x, precision="highest"))
-        )
-        return x, resid
+        return x, resid.reshape(f, s)
     return x
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:  # no backend initialized/available
+        return False
+
+
 @partial(jax.jit, static_argnames=("refine_iters",))
-def eqp_solve(
+def _eqp_solve_lu(
     P: jax.Array,
     A: jax.Array,
     B: jax.Array,
     delta: float = 1e-6,
     refine_iters: int = 4,
 ) -> jax.Array:
-    """Solve min x^T P x s.t. A x = b for every column b of B.
-
-    Arguments:
-    ---------
-    P:
-        (n, n) symmetric positive semidefinite cost matrix.
-    A:
-        (m, n) equality constraint matrix (may contain redundant rows).
-    B:
-        (m, k) stack of right-hand sides; column i yields solution column i.
-    delta:
-        Diagonal KKT regularization, applied after equilibration (P scaled to
-        unit mean diagonal, constraint rows to unit norm) so it is invariant
-        to the data scale.
-    refine_iters:
-        Refinement sweeps against the unregularized KKT operator. Each sweep
-        contracts the regularization error by ~delta/lambda_min; empirically
-        one sweep reaches float32 working precision even on stiff problems,
-        so the default keeps a small safety margin.
-
-    Returns:
-    -------
-    (n, k) array of primal solutions.
-    """
+    """LU KKT solve with refinement (CPU/GPU twin of the host oracle)."""
     dtype = P.dtype
     n = P.shape[0]
     m = A.shape[0]
-    # Equilibrate: scaling the objective does not move the minimizer, and
-    # row-scaling consistent constraints does not change the feasible set, so
-    # normalize both blocks to O(1) before forming the (regularized) KKT
-    # system. Without this, data-scale imbalance (force Grams reach 1e9+)
-    # makes the relative regularization swamp the constraint rows.
     p_scale = jnp.trace(P) / n + jnp.asarray(1e-30, dtype)
     Pn = P / p_scale
     row_norm = jnp.linalg.norm(A, axis=1, keepdims=True) + jnp.asarray(
@@ -250,8 +351,14 @@ def eqp_solve(
     An = A / row_norm
     Bn = B / row_norm
     dlt = jnp.asarray(delta, dtype)
-    K_reg = _kkt(Pn, An, dlt, regularized=True)
-    K_true = _kkt(Pn, An, dlt, regularized=False)
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+    top_reg = jnp.concatenate([Pn + dlt * eye_n, An.T], axis=1)
+    bot_reg = jnp.concatenate([An, -dlt * eye_m], axis=1)
+    K_reg = jnp.concatenate([top_reg, bot_reg], axis=0)
+    top = jnp.concatenate([Pn, An.T], axis=1)
+    bot = jnp.concatenate([An, jnp.zeros((m, m), dtype=dtype)], axis=1)
+    K_true = jnp.concatenate([top, bot], axis=0)
     lu, piv = jsl.lu_factor(K_reg)
     rhs = jnp.concatenate([jnp.zeros((n,) + B.shape[1:], dtype), Bn], axis=0)
     Z = jsl.lu_solve((lu, piv), rhs)
@@ -264,7 +371,33 @@ def eqp_solve(
     return Z[:n]
 
 
-@partial(jax.jit, static_argnames=("refine_iters",))
+def eqp_solve(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    delta: float = 1e-6,
+    refine_iters: int = 4,
+) -> jax.Array:
+    """Solve min x^T P x s.t. A x = b for every column b of B.
+
+    On CPU/GPU this is a regularized-LU KKT solve with iterative refinement
+    against the unregularized operator. On TPU it ROUTES to
+    :func:`eqp_solve_auglag`: XLA's TPU lowering of pivoted LU is a compile
+    trap at production sizes (minutes for the vmapped case — see
+    CLAUDE.md), and the Cholesky range-space solver reaches the same
+    accuracy class.
+    """
+    if _on_tpu():
+        return eqp_solve_auglag(
+            jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
+            delta=delta, iters=_MAX_REFINE_SWEEPS,
+        )
+    return _eqp_solve_lu(
+        jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
+        delta=delta, refine_iters=refine_iters,
+    )
+
+
 def batched_eqp_solve(
     P: jax.Array,
     A: jax.Array,
@@ -274,42 +407,21 @@ def batched_eqp_solve(
 ) -> jax.Array:
     """Batched :func:`eqp_solve` over a leading axis.
 
-    P: (s, n, n); A: (s, m, n); B: (s, m, k) -> (s, n, k). All CG-site
-    problems solve concurrently on device (batched LU on the MXU).
+    P: (s, n, n); A: (s, m, n); B: (s, m, k) -> (s, n, k). On TPU this
+    routes to :func:`batched_eqp_solve_auglag` — vmapped pivoted LU takes
+    >10 minutes to COMPILE on the TPU toolchain, so the LU path is
+    CPU/GPU-only.
     """
-    return jax.vmap(
-        lambda p, a, b: eqp_solve(p, a, b, delta=delta, refine_iters=refine_iters)
-    )(P, A, B)
-
-
-@partial(jax.jit, static_argnames=("iters", "return_resid"))
-def batched_eqp_solve_auglag(
-    P: jax.Array,
-    A: jax.Array,
-    B: jax.Array,
-    rho: float = 30.0,
-    delta: float = 1e-6,
-    delta_fallback: float = 3e-4,
-    iters: int = 10,
-    return_resid: bool = False,
-):
-    """Batched :func:`eqp_solve_auglag` over a leading axis (production
-    device solver: Cholesky-only, fast to compile and run; per-problem
-    regularization selection).
-
-    With ``return_resid=True`` returns ``(X, resids)`` where ``resids`` is
-    the (batch,) vector of per-problem equilibrated constraint violations —
-    cheap to fetch alongside the solutions, used by callers as the
-    convergence check that triggers float64 escalation (per problem or via
-    ``resids.max()``).
-    """
-    return jax.vmap(
-        lambda p, a, b: eqp_solve_auglag(
-            p, a, b, rho=rho, delta=delta,
-            delta_fallback=delta_fallback, iters=iters,
-            return_resid=return_resid,
+    if _on_tpu():
+        return batched_eqp_solve_auglag(
+            jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
+            delta=delta, iters=_MAX_REFINE_SWEEPS,
         )
-    )(P, A, B)
+    return jax.vmap(
+        lambda p, a, b: _eqp_solve_lu(
+            p, a, b, delta=delta, refine_iters=refine_iters
+        )
+    )(jnp.asarray(P), jnp.asarray(A), jnp.asarray(B))
 
 
 def eqp_solve_host(
@@ -320,7 +432,7 @@ def eqp_solve_host(
     refine_iters: int = 4,
     rcond: Optional[float] = None,
 ) -> np.ndarray:
-    """Float64 host twin of :func:`eqp_solve` (LAPACK LU + refinement)."""
+    """Float64 host oracle (LAPACK LU + refinement)."""
     import scipy.linalg as sl
 
     P = np.asarray(P, dtype=np.float64)
@@ -328,8 +440,8 @@ def eqp_solve_host(
     B = np.asarray(B, dtype=np.float64)
     n = P.shape[0]
     m = A.shape[0]
-    # equilibrate (see eqp_solve): objective scale and constraint row norms
-    # are normalized to O(1) without moving the primal solution.
+    # equilibrate (see _equilibrate): objective scale and constraint row
+    # norms are normalized to O(1) without moving the primal solution.
     p_scale = np.trace(P) / n + 1e-300
     Pn = P / p_scale
     row_norm = np.linalg.norm(A, axis=1, keepdims=True) + 1e-300

@@ -302,7 +302,8 @@ def linear_map_cv(
     qf_all, resid_all = jax.device_get(
         (jnp.concatenate(qf_blocks, axis=0), jnp.concatenate(resids, axis=0))
     )
-    qf_all = np.asarray(qf_all)  # (n_l2, k)
+    qf_all = np.array(qf_all)  # (n_l2, k); copy — device_get views are
+    # read-only and the escalation path writes failing cells in place
     resid_all = np.asarray(resid_all)
     bad = ~(resid_all <= resid_tol)  # NaN-aware
     if bad.any():
@@ -483,7 +484,8 @@ def fused_gb_cv(
     qf_all, resid_all = jax.device_get(
         (jnp.concatenate(qf_blocks, axis=0), jnp.concatenate(resids, axis=0))
     )
-    qf_all = np.asarray(qf_all)  # (n_l2, k)
+    qf_all = np.array(qf_all)  # (n_l2, k); copy — device_get views are
+    # read-only and the escalation path writes failing cells in place
     resid_all = np.asarray(resid_all)
     bad = ~(resid_all <= resid_tol)  # NaN-aware
     if bad.any():

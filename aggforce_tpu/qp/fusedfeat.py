@@ -33,7 +33,7 @@ import numpy as np
 
 from ..constraints import Constraints
 from ..map import CLAFTMap, CLAMap, LinearMap
-from ..ops.eqp import batched_eqp_solve_auglag
+from ..ops.eqp import batched_eqp_solve_auglag, batched_eqp_solve_shared
 from ..trajectory import Trajectory
 from .featlinearmap import id_feat
 
@@ -709,11 +709,14 @@ def _fit_coefs(
             onehot, counts, centers, kbt, l2_regularization, spec,
             n_chunks, mesh=mesh,
         )
-    coefs, resids = batched_eqp_solve_auglag(
-        gram, a_rows, b[..., None], delta=solver_delta, iters=solver_iters,
-        return_resid=True,
+    # the same rho-free shared-factor solver the batch path uses (with a
+    # fit-batch of one), so single fits and batched fits are numerically
+    # identical per problem
+    coefs, resids = batched_eqp_solve_shared(
+        gram, a_rows[None], b[None, ..., None], delta=solver_delta,
+        iters=solver_iters, return_resid=True,
     )
-    return coefs[..., 0], jnp.max(resids), gram, a_rows, b
+    return coefs[0, ..., 0], jnp.max(resids), gram, a_rows, b
 
 
 @partial(
@@ -824,20 +827,23 @@ def _fit_coefs_batch_e2e(
     )
     gram = parts[0]
 
-    def per_fit(frame_idx):
+    def per_fit_rows(frame_idx):
         constr_coords = coords_p[frame_idx]
-        a_rows, b = _assemble_constraint_system(
+        return _assemble_constraint_system(
             constr_coords, cmap_mat, group_mean, onehot, counts, centers,
             spec, dtype,
         )
-        coefs, resids = batched_eqp_solve_auglag(
-            gram, a_rows, b[..., None], delta=solver_delta,
-            iters=solver_iters, return_resid=True,
-        )
-        return coefs[..., 0], jnp.max(resids), a_rows, b
 
-    coefs_b, resid_b, rows_b, b_b = jax.vmap(per_fit)(frame_idx_batch)
-    return coefs_b, resid_b, gram, rows_b, b_b
+    rows_b, b_b = jax.vmap(per_fit_rows)(frame_idx_batch)  # (B, S, m, K), (B, S, m)
+    # every fit shares the SAME per-site Grams (the trajectory is fixed;
+    # only the sampled orthogonality frames differ), so the batched solve
+    # factorizes each site's augmented operator ONCE for the whole window
+    # instead of once per (fit, site) problem
+    coefs_b, resid_fs = batched_eqp_solve_shared(
+        gram, rows_b, b_b[..., None], delta=solver_delta,
+        iters=solver_iters, return_resid=True,
+    )
+    return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
 
 
 def group_factorization(
@@ -982,8 +988,20 @@ def fused_gb_linear_map_batch(
         n_valid = len(chunk_seeds)
         if n_valid < window and lo > 0:
             # pad the tail window so it reuses the full-window executable
-            # (padded fits are discarded); a sole small batch compiles its
-            # own (cheaper) program instead
+            # (padded fits are discarded): the wasted batched solves cost
+            # milliseconds each while compiling a second, smaller-batch
+            # program costs seconds through the remote compile service. A
+            # sole small batch (lo == 0) compiles its own program instead.
+            if window - n_valid > n_valid:
+                import sys
+
+                print(
+                    f"fused_gb_linear_map_batch: tail of {n_valid} seeds "
+                    f"padded to the {window}-fit window "
+                    f"({window - n_valid} discarded solves; align "
+                    f"len(seeds) to flush_every to avoid)",
+                    file=sys.stderr,
+                )
             idx = np.concatenate(
                 [idx, np.repeat(idx[-1:], window - n_valid, axis=0)]
             )
@@ -1002,20 +1020,29 @@ def fused_gb_linear_map_batch(
         )
         fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
         for i in range(n_valid):
-            # defer the per-fit constraint-system slicing: eager rows_b[i]
-            # dispatches two gather programs per fit (and compiles a tiny
-            # executable per distinct index), all for data only the rare
-            # f64 escalation consumes
+            # decide escalation NOW (same predicate _package_fused_map
+            # applies) and fetch the per-fit constraint system to host only
+            # for escalating fits: holding the (B, S, m, K) device buffers
+            # in per-map closures pinned ~hundreds of MB of HBM for the
+            # lifetime of every returned map
+            coefs_i = np.asarray(fetched_coefs[i])
+            resid_i = float(fetched_resid[i])
+            escalate = not np.all(np.isfinite(coefs_i)) or not (
+                resid_i <= resid_tol
+            )  # NaN-aware
+            rows_i = np.asarray(rows_b[i]) if escalate else None
+            b_i = np.asarray(b_b[i]) if escalate else None
+            gram_i = np.asarray(gram) if escalate else gram
             maps.append(
                 _package_fused_map(
-                    np.asarray(fetched_coefs[i]), float(fetched_resid[i]),
-                    gram,
-                    (lambda i=i: rows_b[i]),
-                    (lambda i=i: b_b[i]),
+                    coefs_i, resid_i, gram_i, rows_i, b_i,
                     coord_map, setup["onehot"],
                     setup["centers"], kbt, spec, resid_tol,
                 )
             )
+        # drop the window's device buffers before the next dispatch — only
+        # the fetched coefficients survive in the packaged maps
+        del coefs_b, resid_b, gram, rows_b, b_b
     return maps
 
 
@@ -1177,9 +1204,10 @@ def _package_fused_map(
     """Fetch coefficients + residual (the fit's single host sync), escalate
     unconverged solves to float64, and wrap the result as a CLAFTMap.
 
-    ``a_rows``/``b`` may be zero-argument callables producing the arrays;
-    they are only materialized on the (rare) escalation path, so batch
-    callers can defer their per-fit device slicing entirely.
+    ``a_rows``/``b`` may be zero-argument callables producing the arrays —
+    or None when the caller has already applied the same escalation
+    predicate and established this fit will not escalate (the batch path
+    does this to avoid pinning per-fit device constraint systems in HBM).
     """
     coefs_np, resid_val = jax.device_get((coefs, solver_resid))
     coefs_np = np.asarray(coefs_np)
@@ -1192,6 +1220,12 @@ def _package_fused_map(
         # the float64 LAPACK oracle.
         from ..ops.eqp import eqp_solve_host
 
+        if a_rows is None or b is None:
+            raise RuntimeError(
+                "escalation requested but the constraint system was "
+                "dropped — caller's escalation predicate disagrees with "
+                "_package_fused_map's"
+            )
         gram_h = np.asarray(gram, dtype=np.float64)
         rows_h = np.asarray(a_rows() if callable(a_rows) else a_rows, dtype=np.float64)
         b_h = np.asarray(b() if callable(b) else b, dtype=np.float64)

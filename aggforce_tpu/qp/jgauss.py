@@ -76,6 +76,79 @@ def joptgauss_map(
     return AugmentedTMap(aug_tmap=aug_tmap, augmenter=augmenter, kbt=kbt)
 
 
+def _try_staged_fused(
+    traj,
+    coord_map,
+    var,
+    kbt,
+    force_map,
+    constraints,
+    seed,
+    premap_l2_regularization,
+    premap_solver_args,
+    kwargs,
+    zero_stage2: bool,
+):
+    """Dispatch to the one-program staged pipeline when it applies.
+
+    Conditions: device-resident float32 trajectory, device-eligible solver
+    options, and second-stage kwargs limited to l2/solver knobs. Returns
+    (pre_tmap, post_tmap, remaining) or None (callers then run the
+    piecewise path, which owns the float64 escalation)."""
+    import os
+
+    if os.environ.get("AGGFORCE_STAGED_FUSED", "1") != "1":
+        return None  # explicit opt-out (parity testing / debugging)
+    if set(kwargs) - {"l2_regularization", "solver_args"}:
+        return None
+    pre_opts = premap_solver_args or {}
+    post_opts = kwargs.get("solver_args") or {}
+    if pre_opts.get("backend", "auto") not in ("auto", "device"):
+        return None
+    if post_opts.get("backend", "auto") not in ("auto", "device"):
+        return None
+    import jax
+
+    if isinstance(traj.forces, jax.Array) and traj.forces.dtype == np.float64:
+        return None  # "auto" means the host backend for f64 data
+
+    from .jgauss_fused import staged_gauss_fused
+
+    fused = staged_gauss_fused(
+        traj,
+        coord_map,
+        var=var,
+        kbt=kbt,
+        force_map=force_map,
+        constraints=constraints,
+        seed=seed,
+        premap_l2_regularization=premap_l2_regularization,
+        l2_regularization=kwargs.get("l2_regularization", 0.0),
+        zero_stage2=zero_stage2,
+        resid_tol=min(
+            pre_opts.get("resid_tol", 1e-4), post_opts.get("resid_tol", 1e-4)
+        ),
+    )
+    if fused is None:
+        return None
+    pre_tmap, pmapped_tmap, remaining = fused
+    j_coord_map = JLinearMap.from_linearmap(
+        pre_tmap.coord_map, bypass_nan_check=True
+    )
+    j_force_map = JLinearMap.from_linearmap(
+        pre_tmap.force_map, bypass_nan_check=True
+    )
+    pmapped_augmenter = JCondNormal(
+        cov=var,
+        source_postmap=(j_force_map @ j_coord_map.T),
+        seed=seed,
+    )
+    post_tmap = AugmentedTMap(
+        aug_tmap=pmapped_tmap, augmenter=pmapped_augmenter, kbt=kbt
+    )
+    return pre_tmap, post_tmap, remaining
+
+
 def stagedjoptgauss_map(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -94,9 +167,22 @@ def stagedjoptgauss_map(
     coarse-grains coords and forces; ``post`` (index 0) noises the
     already-mapped data and mixes in noise-derived forces. Data can be
     mapped with ``pre``, stored, and later finished with ``post``.
+
+    Device-resident trajectories take the fused one-dispatch pipeline
+    (:mod:`aggforce_tpu.qp.jgauss_fused`): both QP fits, the noise draw,
+    and the real-block premapping run as ONE program with one host sync,
+    instead of ~6 dispatches and two blocking fetches.
     """
     if premap_solver_args is None:
         premap_solver_args = DEFAULT_SOLVER_OPTIONS
+    fused = _try_staged_fused(
+        traj, coord_map, var, kbt, force_map, constraints, seed,
+        premap_l2_regularization, premap_solver_args, kwargs,
+        zero_stage2=False,
+    )
+    if fused is not None:
+        pre_tmap, post_tmap, _ = fused
+        return ComposedTMap(submaps=[post_tmap, pre_tmap])
     if force_map is None:
         pre_tmap = qp_linear_map(
             traj=traj,
@@ -198,10 +284,26 @@ def stagedjforcegauss_map(
     Mirrors :func:`stagedjoptgauss_map`, but the second-stage optimization
     runs on a zero-force copy of the input so it minimizes *only* the
     noise-derived force signal; if the optimizer cannot cancel it below
-    ``contribution_tolerance`` a warning is emitted.
+    ``contribution_tolerance`` a warning is emitted. Device-resident
+    trajectories take the fused one-dispatch pipeline, with the noise
+    contribution computed in-program.
     """
     if premap_solver_args is None:
         premap_solver_args = DEFAULT_SOLVER_OPTIONS
+    fused = _try_staged_fused(
+        traj, coord_map, var, kbt, force_map, constraints, seed,
+        premap_l2_regularization, premap_solver_args, kwargs,
+        zero_stage2=True,
+    )
+    if fused is not None:
+        pre_tmap, post_tmap, remaining = fused
+        if remaining > contribution_tolerance:
+            warnings.warn(
+                "Unable to remove all noise contributions in forces. "
+                f"Remaining contribution: {remaining}.",
+                stacklevel=0,
+            )
+        return ComposedTMap(submaps=[post_tmap, pre_tmap])
     if force_map is None:
         pre_tmap = qp_linear_map(
             traj=traj,

@@ -69,7 +69,9 @@ class WarmupHandle:
 
         A failed warm-up is not fatal — the first real fit simply compiles
         inline — so errors are recorded on ``self.error`` rather than
-        raised.
+        raised. With a ``timeout`` the join may return while the thread is
+        still running: check ``self.done`` before reading ``elapsed`` or
+        ``error`` (both stay None until the thread finishes).
         """
         t0 = time.perf_counter()
         self._thread.join(timeout)

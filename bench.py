@@ -167,18 +167,28 @@ def run_sweep() -> None:
 
 
 def _staged_device_traj(fix):
-    """Stage the fixture into HBM once; return the device Trajectory."""
-    import jax
-    import jax.numpy as jnp
+    """Stage the fixture into HBM via the resilient chunked staging path.
 
-    from aggforce_tpu.trajectory import Trajectory
+    Wire dtype defaults to float16 (half the tunnel traffic; quantization
+    is ~5e-4 relative, far below the solver's escalation tolerance —
+    quantified in tests/test_staging.py); BENCH_WIRE=float32 restores the
+    lossless path. The StagingReport is stored in ``fix["staging_report"]``
+    so the emitting runner can attribute degraded-tunnel time explicitly.
+    """
+    from aggforce_tpu.io.staging import stage_trajectory
 
-    t0 = time.perf_counter()
-    traj = Trajectory(
-        coords=jnp.asarray(fix["coords"]), forces=jnp.asarray(fix["forces"])
+    wire = os.environ.get("BENCH_WIRE", "float16")
+    traj, report = stage_trajectory(
+        fix["coords"], fix["forces"], wire_dtype=wire
     )
-    jax.block_until_ready((traj.coords, traj.forces))
-    log(f"device staging (H2D): {time.perf_counter() - t0:.3f}s")
+    fix["staging_report"] = report
+    log(
+        f"device staging (H2D): {report.seconds:.3f}s "
+        f"({report.bytes / 1e6:.1f} MB as {report.wire_dtype}, "
+        f"{report.mbps:.1f} MB/s, {report.n_chunks} chunks, "
+        f"{report.retries} retries"
+        f"{', TUNNEL DEGRADED' if report.degraded else ''})"
+    )
     return traj
 
 
@@ -188,6 +198,9 @@ def _join_warmup(fix) -> float:
     if handle is None:
         return 0.0
     wait = handle.wait()
+    if not handle.done:  # only possible if a timeout were ever passed
+        log(f"program warm-up: still running after {wait:.3f}s wait")
+        return wait
     status = "failed: " + repr(handle.error) if handle.error else "ok"
     log(
         f"program warm-up: {handle.elapsed:.3f}s in background "
@@ -280,14 +293,14 @@ def run_gauss() -> None:
     elapsed = min(times)
     log(f"joptgauss fit: {elapsed:.3f}s (runs: {[f'{t:.3f}' for t in times]})")
 
+    import jax.numpy as jnp
+
     # apply (re-noise + map) on the full device trajectory
     def _force(o):
         # block_until_ready alone can return before remote execution ends
         # (CLAUDE.md); force a value so apply timings are real
         jax.block_until_ready((o.coords, o.forces))
         float(jnp.sum(o.forces[:1]))
-
-    import jax.numpy as jnp
 
     t0 = time.perf_counter()
     out = tmap(traj)
@@ -467,6 +480,21 @@ def run_featurized() -> None:
     log(f"useful Gram FLOPs {flops_useful/1e9:.1f} GF -> {tflops:.1f} TF/s, "
         f"MFU {100*mfu:.1f}% of bf16 peak")
 
+    rep = fix.get("staging_report")
+    staging_extra = {}
+    if rep is not None:
+        staging_extra = {
+            "staging_s": round(rep.seconds, 3),
+            "staging_mbps": round(rep.mbps, 2),
+            "staging_wire": rep.wire_dtype,
+            "staging_retries": rep.retries,
+            "tunnel_degraded": bool(rep.degraded),
+        }
+        if t_e2e is not None:
+            # the compute+prep story with tunnel-transfer time attributed
+            # out: what a healthy-window (or local-HBM) run would see
+            staging_extra["e2e_ex_staging_s"] = round(t_e2e - rep.seconds, 3)
+
     _emit(
         "featurized_qp_fit_frames_per_sec_per_chip",
         n_frames / elapsed,
@@ -475,6 +503,7 @@ def run_featurized() -> None:
             **(
                 {"process_e2e_s": round(t_e2e, 3)} if t_e2e is not None else {}
             ),
+            **staging_extra,
             "warmup_wait_s": round(warmup_wait_s, 3),
             "tflops": round(tflops, 2),
             "mfu": round(mfu, 4),

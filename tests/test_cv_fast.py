@@ -84,7 +84,13 @@ def test_featurized_score_identity(waterdimer):
     train = Trajectory(coords=coords[:120], forces=forces[:120])
     tmap = fused_gb_linear_map(
         train, cmap, kbt=kbt, spec=spec, constraints=set(),
-        l2_regularization=10.0, constraint_rng=np.random.default_rng(0),
+        # well-conditioned regularization: the score identity is exact in
+        # exact arithmetic for ANY coefficients, but the f32 Gram quadratic
+        # form amplifies rounding by the train system's condition number
+        # (documented caveat in qp/cv.py) — at l2=10 the now-exact
+        # minimizer's weak-mode components push that noise to ~20%, which
+        # measures the arithmetic, not the identity
+        l2_regularization=1e5, constraint_rng=np.random.default_rng(0),
     )
     hold_c, hold_f = coords[120:], forces[120:]
     _, mapped = tmap.map_arrays(hold_c, hold_f)

@@ -356,3 +356,37 @@ def test_fused_batch_escalation_materializes_deferred_rows(waterdimer):
     for tmap in batch:
         _, mf = tmap.map_arrays(coords[:8], forces[:8])
         assert np.all(np.isfinite(mf))
+
+
+def test_fused_batch_frees_window_buffers(waterdimer):
+    """After a batch fit returns, the per-window device constraint systems
+    must be freed — only per-map artifacts (coefficients, geometry) may
+    stay resident. Guards against closures pinning the (B, S, m, K) buffers
+    for the lifetime of the returned maps."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map_batch
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:96].astype(np.float32)
+    forces = waterdimer["forces"][:96].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    window = 8
+    batch = fused_gb_linear_map_batch(
+        traj, cmap, seeds=range(window), flush_every=window,
+        kbt=0.5, spec=spec, constraints=set(), l2_regularization=1e3,
+    )
+    assert len(batch) == window
+    gc.collect()
+    leaked = [
+        a.shape
+        for a in jax.live_arrays()
+        if a.ndim >= 3 and a.shape[0] == window
+    ]
+    assert not leaked, f"window-sized device buffers still live: {leaked}"

@@ -216,3 +216,67 @@ def test_gauss_vs_staged_mscg_consistency(system):
     rel_diff = abs(pa.mean() - pb.mean()) / (abs(pa.mean()) + 1e-12)
     assert corr > 0.9, (corr, rel_diff)
     assert rel_diff < 0.1, (corr, rel_diff)
+
+
+@pytest.mark.jax
+def test_staged_fused_matches_piecewise(system, monkeypatch):
+    """The one-dispatch staged pipeline must reproduce the piecewise
+    builder: same premap fit, same noise draw (same key schedule), same
+    second-stage fit — map matrices agree to f32 accumulation noise."""
+    import jax.numpy as jnp
+
+    fix, cmap = system
+    traj = Trajectory(
+        coords=jnp.asarray(fix["coords"][:300], jnp.float32),
+        forces=jnp.asarray(fix["forces"][:300], jnp.float32),
+    )
+    kw = dict(
+        coord_map=cmap, var=VAR, kbt=KBT,
+        constraints=set(fix["constraint_groups"]), seed=11,
+    )
+    t_fused = stagedjoptgauss_map(traj=traj, **kw)
+    monkeypatch.setenv("AGGFORCE_STAGED_FUSED", "0")
+    t_piece = stagedjforcegauss_map  # silence linters; real call below
+    t_piece = stagedjoptgauss_map(traj=traj, **kw)
+
+    pre_f = np.asarray(t_fused[1].force_map.standard_matrix)
+    pre_p = np.asarray(t_piece[1].force_map.standard_matrix)
+    scale = np.abs(pre_p).max()
+    np.testing.assert_allclose(pre_f, pre_p, atol=2e-4 * scale)
+
+    post_f = np.asarray(t_fused[0].tmap.force_map.standard_matrix)
+    post_p = np.asarray(t_piece[0].tmap.force_map.standard_matrix)
+    scale2 = np.abs(post_p).max()
+    np.testing.assert_allclose(post_f, post_p, atol=2e-3 * scale2)
+
+    # full application with the shared seed is draw-for-draw deterministic
+    cf, ff = t_fused.map_arrays(fix["coords"][:64], fix["forces"][:64])
+    cp, fp = t_piece.map_arrays(fix["coords"][:64], fix["forces"][:64])
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cp), atol=1e-5)
+    fscale = np.abs(np.asarray(fp)).max()
+    np.testing.assert_allclose(
+        np.asarray(ff), np.asarray(fp), atol=2e-3 * fscale
+    )
+
+
+@pytest.mark.jax
+def test_staged_force_fused_matches_piecewise(system, monkeypatch):
+    """Force-variant fused pipeline parity (zero-force second stage)."""
+    import jax.numpy as jnp
+
+    fix, cmap = system
+    traj = Trajectory(
+        coords=jnp.asarray(fix["coords"][:300], jnp.float32),
+        forces=jnp.asarray(fix["forces"][:300], jnp.float32),
+    )
+    kw = dict(
+        coord_map=cmap, var=VAR, kbt=KBT,
+        constraints=set(fix["constraint_groups"]), seed=12,
+    )
+    t_fused = stagedjforcegauss_map(traj=traj, **kw)
+    monkeypatch.setenv("AGGFORCE_STAGED_FUSED", "0")
+    t_piece = stagedjforcegauss_map(traj=traj, **kw)
+    post_f = np.asarray(t_fused[0].tmap.force_map.standard_matrix)
+    post_p = np.asarray(t_piece[0].tmap.force_map.standard_matrix)
+    scale = max(np.abs(post_p).max(), 1e-8)
+    np.testing.assert_allclose(post_f, post_p, atol=2e-3 * scale)
