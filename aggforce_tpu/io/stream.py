@@ -88,17 +88,27 @@ class TrajectoryStream:
     def __len__(self) -> int:
         return self.n_frames
 
-    def chunks(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    def chunks(
+        self, frame_slice: Optional[slice] = None
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         """Yield (coords_chunk, forces_chunk, n_valid) uniform blocks.
 
         Every yielded block has exactly ``chunk_size`` frames (the last one
         zero-padded; ``n_valid`` counts real frames) so the device update
-        compiles once.
+        compiles once. ``frame_slice`` restricts iteration to a contiguous
+        sub-range — the multi-host pattern where each process streams only
+        its :func:`aggforce_tpu.parallel.distributed.process_frame_slice`.
         """
+        lo, hi, _ = (
+            frame_slice.indices(self.n_frames)
+            if frame_slice is not None
+            else (0, self.n_frames, 1)
+        )
         c = self.chunk_size
-        for start in range(0, self.n_frames, c):
-            cc = np.asarray(self.coords[start : start + c])
-            fc = np.asarray(self.forces[start : start + c])
+        for start in range(lo, hi, c):
+            stop = min(start + c, hi)
+            cc = np.asarray(self.coords[start:stop])
+            fc = np.asarray(self.forces[start:stop])
             n_valid = cc.shape[0]
             if n_valid < c:
                 pad = ((0, c - n_valid), (0, 0), (0, 0))
@@ -109,6 +119,44 @@ class TrajectoryStream:
     def gather_frames(self, frame_idx: np.ndarray) -> np.ndarray:
         """Fetch specific frames' coordinates (host side, small)."""
         return np.stack([np.asarray(self.coords[int(i)]) for i in frame_idx])
+
+
+def _local_mesh_devices(mesh):
+    """This process's devices within a (possibly multi-host) 1-D mesh."""
+    pid = jax.process_index()
+    return [d for d in mesh.devices.flat if d.process_index == pid]
+
+
+def _psum_gram_stack(mesh, per_device_grams, devices):
+    """All-reduce per-device Gram accumulators over the global mesh.
+
+    Builds one globally-sharded stack from each device's local accumulator
+    (this process contributes only its local shards) and reduces it with a
+    single psum — ICI within a slice, DCN across hosts, O(K^2) bytes either
+    way. Returns the replicated total (identical on every process).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gram_shape = per_device_grams[0].shape
+    shards = [
+        jax.device_put(g[None], d) for g, d in zip(per_device_grams, devices)
+    ]
+    sharding = NamedSharding(mesh, P("frames", *([None] * len(gram_shape))))
+    stacked = jax.make_array_from_single_device_arrays(
+        (mesh.devices.size,) + gram_shape, sharding, shards
+    )
+
+    def local_sum(x):
+        return jax.lax.psum(jnp.sum(x, axis=0), "frames")
+
+    return jax.jit(
+        jax.shard_map(
+            local_sum,
+            mesh=mesh,
+            in_specs=jax.sharding.PartitionSpec("frames"),
+            out_specs=jax.sharding.PartitionSpec(),
+        )
+    )(stacked)
 
 
 @partial(jax.jit, static_argnames=("r",))
@@ -161,34 +209,68 @@ def qp_linear_map_streamed(
     constraints: Optional[Constraints] = None,
     l2_regularization: float = 0.0,
     resid_tol: float = 1e-4,
+    mesh=None,
+    frame_slice: Optional[slice] = None,
 ) -> SeperableTMap:
     """Streamed :func:`aggforce_tpu.qp.qp_linear_map` (device backend).
 
     Accumulates the reduced force Gram chunk-by-chunk on device; only one
     chunk is ever resident. Identical optimization to the in-memory fit.
+
+    With ``mesh`` (1-D, axis "frames", possibly spanning multiple hosts),
+    chunks round-robin over this process's local devices — each device
+    accumulates its own Gram while other devices' transfers/updates are in
+    flight — and ONE psum merges the per-device Grams at finish (ICI
+    within a slice, DCN across hosts). ``frame_slice`` restricts this
+    process's streaming to its own frame range (pair with
+    :func:`aggforce_tpu.parallel.distributed.process_frame_slice`); the
+    psum then completes the global sum, so every process returns the same
+    fitted map.
     """
     from ..qp.qplinear import make_bond_constraint_matrix
 
     if constraints is None:
         constraints = set()
     labels_np, r = constraint_labels(coord_map.n_fg_sites, constraints)
-    labels = jnp.asarray(labels_np)
     dtype = jnp.float32
-
-    gram = jnp.zeros((r, r), dtype=dtype)
     c = stream.chunk_size
-    for cc, fc, n_valid in stream.chunks():
-        mask = jnp.asarray(
-            np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
-            dtype=dtype,
-        )
-        gram = _linear_gram_update(
-            gram, jnp.asarray(fc, dtype=dtype), mask, labels, r
-        )
+
+    if mesh is None:
+        labels = jnp.asarray(labels_np)
+        gram = jnp.zeros((r, r), dtype=dtype)
+        for cc, fc, n_valid in stream.chunks(frame_slice):
+            mask = jnp.asarray(
+                np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
+                dtype=dtype,
+            )
+            gram = _linear_gram_update(
+                gram, jnp.asarray(fc, dtype=dtype), mask, labels, r
+            )
+        labels_solve = labels
+    else:
+        devices = _local_mesh_devices(mesh)
+        labels_dev = [jax.device_put(labels_np, d) for d in devices]
+        grams = [
+            jax.device_put(jnp.zeros((r, r), dtype=dtype), d) for d in devices
+        ]
+        for i, (cc, fc, n_valid) in enumerate(stream.chunks(frame_slice)):
+            k = i % len(devices)
+            mask = np.concatenate(
+                [np.ones(n_valid, np.float32), np.zeros(c - n_valid, np.float32)]
+            )
+            grams[k] = _linear_gram_update(
+                grams[k],
+                jax.device_put(fc.astype(np.float32), devices[k]),
+                jax.device_put(mask, devices[k]),
+                labels_dev[k],
+                r,
+            )
+        gram = _psum_gram_stack(mesh, grams, devices)
+        labels_solve = jnp.asarray(labels_np)
 
     fmap_dev, resid_dev = _linear_gram_solve(
         gram,
-        labels,
+        labels_solve,
         jnp.asarray(coord_map.standard_matrix, dtype),
         jnp.asarray(l2_regularization, dtype),
         r,
@@ -196,15 +278,23 @@ def qp_linear_map_streamed(
     fmap_mat, resid_val = jax.device_get((fmap_dev, resid_dev))
     fmap_mat = np.asarray(fmap_mat)
     if not np.all(np.isfinite(fmap_mat)) or not float(resid_val) <= resid_tol:
-        # escalation needs the float64 Gram too: one more streamed pass on
-        # host (rare path; correctness over speed)
         con_mat = make_bond_constraint_matrix(coord_map.n_fg_sites, constraints)
-        gram64 = np.zeros((r, r))
-        for cc, fc, n_valid in stream.chunks():
-            f = np.asarray(fc[:n_valid], dtype=np.float64)
-            flat = np.swapaxes(f, 1, 2).reshape(-1, coord_map.n_fg_sites)
-            design = flat @ con_mat
-            gram64 += design.T @ design
+        if mesh is None and frame_slice is None:
+            # escalation re-accumulates the Gram in float64 on host (rare
+            # path; correctness over speed)
+            gram64 = np.zeros((r, r))
+            for cc, fc, n_valid in stream.chunks():
+                f = np.asarray(fc[:n_valid], dtype=np.float64)
+                flat = np.swapaxes(f, 1, 2).reshape(-1, coord_map.n_fg_sites)
+                design = flat @ con_mat
+                gram64 += design.T @ design
+        else:
+            # multi-device/multi-host: a true f64 re-accumulation would
+            # need a host-side cross-process reduction; solve the fetched
+            # (replicated, f32-accumulated) global Gram in f64 instead —
+            # this fixes solver-conditioning failures (the common case)
+            # deterministically and identically on every process.
+            gram64 = np.asarray(jax.device_get(gram), dtype=np.float64)
         fmap_mat = _host_linear_fit_from_gram(
             gram64, con_mat, coord_map, l2_regularization
         )
@@ -280,6 +370,8 @@ def fused_gb_linear_map_streamed(
     l2_regularization: float = 1e1,
     constraint_rng: Optional[np.random.Generator] = None,
     resid_tol: float = 1e-4,
+    mesh=None,
+    frame_slice: Optional[slice] = None,
 ) -> CLAFTMap:
     """Streamed canonical featurized fit (id_feat + gb_feat).
 
@@ -287,6 +379,14 @@ def fused_gb_linear_map_streamed(
     with per-site Grams accumulated chunk-by-chunk — the trajectory never
     needs to fit in host RAM or HBM. Constraint frames are sampled up front
     from the stream's frame count and gathered from disk directly.
+
+    With ``mesh`` (1-D, axis "frames", possibly multi-host), chunks
+    round-robin over this process's local devices and one psum merges the
+    per-site Grams at finish. ``frame_slice`` restricts this process's
+    streaming to its own frame range (multi-host pattern with
+    :func:`aggforce_tpu.parallel.distributed.process_frame_slice`); pass
+    the same ``constraint_rng`` seed on every process so the sampled
+    orthogonality frames — and therefore the fitted map — coincide.
     """
     if constraints is None:
         constraints = set()
@@ -306,17 +406,48 @@ def fused_gb_linear_map_streamed(
     s_dim = coord_map.n_cg_sites
     g = onehot.shape[1]
     k_exp = g * spec.n_basis + (g if spec.include_id else 0)
-    gram = jnp.zeros((s_dim, k_exp, k_exp), dtype=dtype)
     c = stream.chunk_size
-    for cc, fc, n_valid in stream.chunks():
-        mask = jnp.asarray(
-            np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
-            dtype=dtype,
-        )
-        gram = _feat_gram_update(
-            gram, jnp.asarray(cc, dtype=dtype), jnp.asarray(fc, dtype=dtype),
-            mask, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
-        )
+    if mesh is None:
+        gram = jnp.zeros((s_dim, k_exp, k_exp), dtype=dtype)
+        for cc, fc, n_valid in stream.chunks(frame_slice):
+            mask = jnp.asarray(
+                np.concatenate([np.ones(n_valid), np.zeros(c - n_valid)]),
+                dtype=dtype,
+            )
+            gram = _feat_gram_update(
+                gram, jnp.asarray(cc, dtype=dtype),
+                jnp.asarray(fc, dtype=dtype),
+                mask, cmap_mat, gm, oh, ct, cen, kbt_dev, spec,
+            )
+    else:
+        devices = _local_mesh_devices(mesh)
+        consts = [
+            tuple(
+                jax.device_put(x, d)
+                for x in (cmap_mat, gm, oh, ct, cen, kbt_dev)
+            )
+            for d in devices
+        ]
+        grams = [
+            jax.device_put(
+                jnp.zeros((s_dim, k_exp, k_exp), dtype=dtype), d
+            )
+            for d in devices
+        ]
+        for i, (cc, fc, n_valid) in enumerate(stream.chunks(frame_slice)):
+            k = i % len(devices)
+            mask = np.concatenate(
+                [np.ones(n_valid, np.float32), np.zeros(c - n_valid, np.float32)]
+            )
+            cm_d, gm_d, oh_d, ct_d, cen_d, kbt_d = consts[k]
+            grams[k] = _feat_gram_update(
+                grams[k],
+                jax.device_put(cc.astype(np.float32), devices[k]),
+                jax.device_put(fc.astype(np.float32), devices[k]),
+                jax.device_put(mask, devices[k]),
+                cm_d, gm_d, oh_d, ct_d, cen_d, kbt_d, spec,
+            )
+        gram = _psum_gram_stack(mesh, grams, devices)
     gram = gram + jnp.asarray(l2_regularization, dtype) * jnp.eye(
         k_exp, dtype=dtype
     )

@@ -115,7 +115,13 @@ def build_fixture(n_frames: int, warm=None):
 
 
 def run_sweep() -> None:
-    """Config #5: large solvated-system sweep via the linear-map pipeline."""
+    """Config #5: large solvated-system sweep via the linear-map pipeline.
+
+    ``BENCH_SWEEP_STREAMED=1`` routes the fit through the streamed mesh
+    path instead (chunks round-robined over every available device with a
+    psum-merged Gram — the multi-host composition, exercised on however
+    many chips the process sees).
+    """
     import jax
 
     from aggforce_tpu import LinearMap, guess_pairwise_constraints
@@ -125,6 +131,7 @@ def run_sweep() -> None:
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100000"))
     n_atoms = int(os.environ.get("BENCH_ATOMS", "3000"))
+    streamed = os.environ.get("BENCH_SWEEP_STREAMED", "0") == "1"
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
     rng = np.random.default_rng(0)
@@ -142,6 +149,19 @@ def run_sweep() -> None:
     )
     log(f"sweep fixture: {coords.shape}, cg sites {cmap.n_cg_sites}")
     traj = Trajectory(coords=coords, forces=forces)
+    if streamed:
+        # host-resident source streamed chunkwise over ALL devices; this is
+        # the multi-host composition run on one process
+        from aggforce_tpu.io import TrajectoryStream, qp_linear_map_streamed
+        from aggforce_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        log(f"streamed sweep over {mesh.devices.size} device(s)")
+        coords_h = np.asarray(coords)
+        forces_h = np.asarray(forces)
+        stream = TrajectoryStream.from_arrays(
+            coords_h, forces_h, chunk_size=4096
+        )
 
     def fit():
         t0 = time.perf_counter()
@@ -149,8 +169,14 @@ def run_sweep() -> None:
         log(f"  constraint detection: {time.perf_counter() - t0:.3f}s "
             f"({len(constraints)} pairs)")
         t0 = time.perf_counter()
-        out = qp_linear_map(traj, cmap, constraints=constraints)
-        log(f"  qp_linear_map: {time.perf_counter() - t0:.3f}s")
+        if streamed:
+            out = qp_linear_map_streamed(
+                stream, cmap, constraints=constraints, mesh=mesh
+            )
+            log(f"  qp_linear_map_streamed: {time.perf_counter() - t0:.3f}s")
+        else:
+            out = qp_linear_map(traj, cmap, constraints=constraints)
+            log(f"  qp_linear_map: {time.perf_counter() - t0:.3f}s")
         return out
 
     t0 = time.perf_counter()
@@ -160,10 +186,14 @@ def run_sweep() -> None:
     tmap = fit()
     elapsed = time.perf_counter() - t0
     mc, mf = tmap.map_arrays(coords[:64], forces[:64])
-    assert np.all(np.isfinite(mf))
+    assert np.all(np.isfinite(np.asarray(mf)))
     value = n_frames / elapsed
     log(f"sweep fit: {elapsed:.3f}s -> {value:.1f} frames/s/chip")
-    _emit("sweep_linear_qp_fit_frames_per_sec_per_chip", value)
+    _emit(
+        "sweep_linear_qp_fit_frames_per_sec_per_chip",
+        value,
+        extra={"streamed_mesh": streamed},
+    )
 
 
 def _staged_device_traj(fix):
