@@ -232,6 +232,13 @@ def _fast_grid_cv(
         if any(s is None for s in specs) or kbt is None or kw:
             return None
 
+    # materialize the generator ONCE so the eligibility probe, the fast CV,
+    # and (on fallback) the generic driver all draw the same fold partition
+    # — with rng=None a fresh generator per consumer would let the probe
+    # validate folds the CV never uses
+    if rng is None:
+        rng = np.random.default_rng()
+
     if isinstance(constrained, str):
         if constrained != PROJECT_FORCES_CNSTR_AUTO:
             return None
@@ -243,16 +250,27 @@ def _fast_grid_cv(
         # otherwise fall back to the generic (per-fold) driver so results
         # stay identical. Folds are probed on a COPY of the rng so the
         # downstream CV draws the same partition it would have anyway.
+        # The per-fold sds come from ONE moment pass (total minus fold);
+        # only when some pair sits within the probe's arithmetic margin of
+        # the threshold does the exact per-fold detection run.
         import copy
 
+        from .constraints.finder import fold_train_constraint_probe
         from .qp.cv import _fold_segments
 
-        probe_rng = copy.deepcopy(rng) if rng is not None else None
+        probe_rng = copy.deepcopy(rng)
         probe_folds = _fold_segments(len(coords), n_folds, probe_rng)
-        for held in probe_folds:
-            train_idx = np.setdiff1d(np.arange(len(coords)), held)
-            if guess_pairwise_constraints(coords[train_idx]) != constrained:
-                return None
+        predicted = fold_train_constraint_probe(coords, probe_folds)
+        if predicted is None:
+            # near-threshold ambiguity (rare): exact per-fold detection
+            for held in probe_folds:
+                train_idx = np.setdiff1d(np.arange(len(coords)), held)
+                if guess_pairwise_constraints(coords[train_idx]) != constrained:
+                    return None
+        else:
+            for fold_set in predicted:
+                if fold_set != constrained:
+                    return None
 
     results: Dict[str, Dict[Any, Any]] = {
         SCORES_KNAME: {},

@@ -93,6 +93,122 @@ def _distance_sd(
     return jnp.sqrt(var)
 
 
+@partial(jax.jit, static_argnames=("n_folds", "n_chunks"))
+def _fold_distance_moments(
+    xyz: jax.Array,
+    fold_ids: jax.Array,  # (t_pad,) int32; padded frames get id n_folds
+    mask: jax.Array,
+    n_folds: int,
+    n_chunks: int,
+):
+    """Per-fold first/second moments of the distance fluctuations.
+
+    One pass over the trajectory yields, for every fold f and site pair,
+    sum and sum-of-squares of (d - d0) over fold f's frames — from which
+    any train-fold's (= all-but-one-fold) distance sd follows by
+    subtraction from the totals. This powers the k-fold constraint-
+    stability probe at the cost of ONE detection pass instead of one pass
+    per fold.
+    """
+    t = xyz.shape[0]
+    # frame-wise centroid centering: same free-precision trick as
+    # guess_pairwise_constraints (distances unchanged, cancellation tamed)
+    xyz = xyz - jnp.mean(xyz, axis=1, keepdims=True)
+    chunk = t // n_chunks
+    xa = xyz.reshape(n_chunks, chunk, *xyz.shape[1:])
+    ids = fold_ids.reshape(n_chunks, chunk)
+    ma = mask.reshape(n_chunks, chunk)
+
+    def dists(a):
+        sq = jnp.sum(a * a, axis=-1)
+        dots = jnp.einsum("tjd,tid->tij", a, a, precision="highest")
+        dsq = sq[:, :, None] + sq[:, None, :] - 2.0 * dots
+        return jnp.sqrt(jnp.maximum(dsq, 0.0))
+
+    d0 = dists(xyz[0][None])[0]
+
+    def body(carry, inp):
+        s1, s2, cnt = carry
+        a, fid, m = inp
+        delta = (dists(a) - d0) * m[:, None, None]
+        onehot = jax.nn.one_hot(fid, n_folds, dtype=xyz.dtype)  # (chunk, F)
+        onehot = onehot * m[:, None]
+        s1 = s1 + jnp.einsum("tf,tij->fij", onehot, delta, precision="highest")
+        s2 = s2 + jnp.einsum(
+            "tf,tij->fij", onehot, delta * delta, precision="highest"
+        )
+        cnt = cnt + jnp.sum(onehot, axis=0)
+        return (s1, s2, cnt), None
+
+    n = xyz.shape[1]
+    init = (
+        jnp.zeros((n_folds, n, n), dtype=xyz.dtype),
+        jnp.zeros((n_folds, n, n), dtype=xyz.dtype),
+        jnp.zeros((n_folds,), dtype=xyz.dtype),
+    )
+    (s1, s2, cnt), _ = jax.lax.scan(body, init, (xa, ids, ma))
+    return s1, s2, cnt
+
+
+def fold_train_constraint_probe(
+    xyz: np.ndarray,
+    folds,
+    threshold: float = 1e-3,
+    margin_rel: float = 1e-2,
+):
+    """Predict per-train-fold constraint detection from one moment pass.
+
+    ``folds`` is a list of held-out frame-index arrays partitioning the
+    trajectory. For each fold, the training set's distance sds are derived
+    from (total - fold) moments and thresholded exactly like
+    :func:`guess_pairwise_constraints`. Returns a list of per-fold
+    constraint sets, or None when some pair's train sd falls within
+    ``margin_rel`` of the threshold — there the subtraction arithmetic
+    (and the subset's different d0 reference) could flip the decision
+    relative to running detection on the subset directly, so the caller
+    must fall back to exact per-fold detection. Far from the threshold
+    (the overwhelmingly common case) the prediction is decision-exact.
+    """
+    t = xyz.shape[0]
+    n_folds = len(folds)
+    fold_ids = np.empty(t, dtype=np.int32)
+    for f, idx in enumerate(folds):
+        fold_ids[idx] = f
+    n_chunks = max(1, t // _frame_chunk(xyz.shape[1], xyz.shape[1]))
+    chunk = -(-t // n_chunks)
+    t_pad = chunk * n_chunks
+    pad = t_pad - t
+    # device-resident inputs stay on device (no host round-trip); the
+    # centroid centering happens inside the jitted kernel
+    x = jnp.pad(
+        jnp.asarray(xyz).astype(jnp.float32), ((0, pad), (0, 0), (0, 0))
+    )
+    ids = jnp.asarray(np.concatenate([fold_ids, np.zeros(pad, np.int32)]))
+    mask = jnp.asarray(
+        np.concatenate([np.ones(t), np.zeros(pad)]), dtype=x.dtype
+    )
+    s1, s2, cnt = jax.device_get(
+        _fold_distance_moments(x, ids, mask, n_folds, n_chunks)
+    )
+    s1 = np.asarray(s1, np.float64)
+    s2 = np.asarray(s2, np.float64)
+    cnt = np.asarray(cnt, np.float64)
+    tot1, tot2, tot_n = s1.sum(0), s2.sum(0), cnt.sum()
+    out = []
+    n = xyz.shape[1]
+    for f in range(n_folds):
+        tr1, tr2, tr_n = tot1 - s1[f], tot2 - s2[f], tot_n - cnt[f]
+        mean = tr1 / tr_n
+        var = np.maximum(tr2 / tr_n - mean * mean, 0.0)
+        sds = np.sqrt(var)
+        np.fill_diagonal(sds, threshold * 2)
+        if np.any(np.abs(sds - threshold) < margin_rel * threshold):
+            return None  # ambiguous near the threshold: caller goes exact
+        ii, jj = np.nonzero(sds < threshold)
+        out.append({frozenset(p) for p in zip(ii.tolist(), jj.tolist())})
+    return out
+
+
 def guess_pairwise_constraints(
     xyz: np.ndarray,
     cross_xyz: Optional[np.ndarray] = None,

@@ -432,6 +432,21 @@ class JCondNormal(Augmenter):
     def _scalar_cov(self) -> bool:
         return not (isinstance(self._cov, (np.ndarray, jax.Array)) and np.ndim(self._cov) == 2)
 
+    @property
+    def _jdtype(self) -> np.dtype:
+        """Device compute dtype: honors float64 ONLY when x64 is enabled.
+
+        Without ``jax_enable_x64`` a float64 request cannot be honored on
+        device; rather than silently tracing every op through jax's
+        truncation warning, all device arithmetic runs in float32 and
+        host-returned arrays are cast to the requested dtype. Deviation
+        from the reference (numpy, true float64) documented in PARITY.md;
+        enable x64 for end-to-end float64.
+        """
+        if np.dtype(self.dtype) == np.float64 and not jax.config.jax_enable_x64:
+            return np.dtype(np.float32)
+        return np.dtype(self.dtype)
+
     def sample(self, source: np.ndarray) -> np.ndarray:
         """Draw one set of virtual coordinates conditioned on ``source``.
 
@@ -440,11 +455,11 @@ class JCondNormal(Augmenter):
         arrays — a per-call trajectory-sized transfer this path avoids).
         """
         device_in = isinstance(source, jax.Array)
-        src = jnp.asarray(source, dtype=self.dtype)
+        src = jnp.asarray(source, dtype=self._jdtype)
         use_mat = self.premap is _ident or self._premap_mat is not None
         self._rkey, subkey = jrandom.split(self._rkey)
         if self._scalar_cov:
-            var = jnp.asarray(self._cov, dtype=self.dtype)
+            var = jnp.asarray(self._cov, dtype=self._jdtype)
             if use_mat:
                 if src.ndim != 3 or src.shape[-1] != self.n_dim:
                     raise ValueError(
@@ -461,7 +476,7 @@ class JCondNormal(Augmenter):
                 # materialize the diagonal covariance attribute lazily for
                 # API parity; the hot path never uses it.
                 d = unflat.shape[1] * unflat.shape[2]
-                self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self.dtype))
+                self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self._jdtype))
         else:
             flat = self._flatten(src)
             means = self.premap(flat)
@@ -470,7 +485,7 @@ class JCondNormal(Augmenter):
             out = means + eps @ chol.T
             unflat = self._unflatten(out)
         if device_in:
-            return unflat.astype(self.dtype)
+            return unflat.astype(self._jdtype)
         return np.asarray(unflat, dtype=self.dtype)
 
     def log_gradient(
@@ -480,8 +495,8 @@ class JCondNormal(Augmenter):
         device_in = isinstance(source, jax.Array) or isinstance(
             generated, jax.Array
         )
-        src3 = jnp.asarray(source, dtype=self.dtype)
-        gen3 = jnp.asarray(generated, dtype=self.dtype)
+        src3 = jnp.asarray(source, dtype=self._jdtype)
+        gen3 = jnp.asarray(generated, dtype=self._jdtype)
         if self.cov is None and self._scalar_cov:
             raise ValueError(
                 "Cannot generate log gradients without cov. Either specify "
@@ -499,7 +514,7 @@ class JCondNormal(Augmenter):
                 src_grad3, gen_grad3 = _mat_lgrads(
                     src3,
                     gen3,
-                    jnp.asarray(self._cov, dtype=self.dtype),
+                    jnp.asarray(self._cov, dtype=self._jdtype),
                     self._premap_mat,
                     pfill=self._premap_fill,
                 )
@@ -516,7 +531,7 @@ class JCondNormal(Augmenter):
                 src_grad, gen_grad = _scalar_lgrads(
                     flat_source,
                     flat_generated,
-                    jnp.asarray(self._cov, dtype=self.dtype),
+                    jnp.asarray(self._cov, dtype=self._jdtype),
                     self.premap,
                 )
             else:
@@ -529,7 +544,7 @@ class JCondNormal(Augmenter):
         if device_in:
             return (
                 jnp.asarray(post, dtype=self.dtype),
-                variate_lgrad.astype(self.dtype),
+                variate_lgrad.astype(self._jdtype),
             )
         return (
             np.asarray(post, dtype=self.dtype),
@@ -565,10 +580,10 @@ class JCondNormal(Augmenter):
         self._rkey, subkey = jrandom.split(self._rkey)
         full_coords, full_forces = _mat_fused_augment(
             subkey,
-            coords.astype(self.dtype),
-            forces.astype(self.dtype),
-            jnp.asarray(self._cov, dtype=self.dtype),
-            jnp.asarray(kbt, dtype=self.dtype),
+            coords.astype(self._jdtype),
+            forces.astype(self._jdtype),
+            jnp.asarray(self._cov, dtype=self._jdtype),
+            jnp.asarray(kbt, dtype=self._jdtype),
             self._premap_mat,
             self._postmap_mat,
             pfill=self._premap_fill,
@@ -576,7 +591,7 @@ class JCondNormal(Augmenter):
         )
         if self.cov is None:
             d = (full_coords.shape[1] - coords.shape[1]) * self.n_dim
-            self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self.dtype))
+            self.cov = jnp.diag(jnp.full((d,), self._cov, dtype=self._jdtype))
         return full_coords, full_forces
 
     def fused_map_apply(
@@ -624,10 +639,10 @@ class JCondNormal(Augmenter):
         self._rkey, subkey = jrandom.split(self._rkey)
         mc, mf, bad_c, bad_f = _mat_fused_apply(
             subkey,
-            coords.astype(self.dtype),
-            forces.astype(self.dtype),
-            jnp.asarray(self._cov, dtype=self.dtype),
-            jnp.asarray(kbt, dtype=self.dtype),
+            coords.astype(self._jdtype),
+            forces.astype(self._jdtype),
+            jnp.asarray(self._cov, dtype=self._jdtype),
+            jnp.asarray(kbt, dtype=self._jdtype),
             self._premap_mat,
             self._postmap_mat,
             _mat(coord_map),
@@ -644,7 +659,7 @@ class JCondNormal(Augmenter):
                 else coords.shape[1]
             )
             self.cov = jnp.diag(
-                jnp.full((c * self.n_dim,), self._cov, dtype=self.dtype)
+                jnp.full((c * self.n_dim,), self._cov, dtype=self._jdtype)
             )
         if raise_c or raise_f:
             # both verdicts in ONE host round-trip (each bool() would block
@@ -660,7 +675,7 @@ class JCondNormal(Augmenter):
     def _cholesky(self) -> jax.Array:
         if self._chol is None:
             self._chol = jnp.linalg.cholesky(
-                jnp.asarray(self._cov, dtype=self.dtype)
+                jnp.asarray(self._cov, dtype=self._jdtype)
             )
         return self._chol
 
@@ -703,4 +718,4 @@ class JCondNormal(Augmenter):
             raise ValueError(
                 "Only can convert to SimpleCondNormal for identity source_postmap."
             )
-        return SimpleCondNormal(var=self._cov, dtype=self.dtype)
+        return SimpleCondNormal(var=self._cov, dtype=self._jdtype)

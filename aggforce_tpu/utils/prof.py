@@ -75,6 +75,45 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
+# Published per-chip peaks: {device_kind substring: (dense bf16 matmul
+# TFLOP/s, HBM GB/s)}. Matched case-insensitively against
+# jax.Device.device_kind; first hit wins (order matters: "v5 lite"/"v5e"
+# before "v5"). MFU numbers are only meaningful against the right peak, so
+# unknown chips get None rather than a silently wrong denominator.
+_TPU_PEAKS = [
+    ("v5 lite", (197.0, 819.0)),
+    ("v5litepod", (197.0, 819.0)),
+    ("v5e", (197.0, 819.0)),
+    ("v6 lite", (918.0, 1640.0)),
+    ("v6e", (918.0, 1640.0)),
+    ("v5p", (459.0, 2765.0)),
+    ("v5", (459.0, 2765.0)),  # bare "v5" after the lite variants
+    ("v4", (275.0, 1228.0)),
+    ("v3", (123.0, 900.0)),
+    ("v2", (45.0, 700.0)),
+]
+
+
+def device_peaks(device=None) -> Optional[Tuple[str, float, float]]:
+    """(device_kind, peak bf16 TFLOP/s, peak HBM GB/s) for the given (or
+    default) device; None when the chip model is not in the table — MFU
+    against a guessed peak is misinformation, so callers must skip the MFU
+    line rather than print a wrong one."""
+    if device is None:
+        try:
+            device = jax.devices()[0]
+        except RuntimeError:
+            return None
+    kind = getattr(device, "device_kind", "") or ""
+    if device.platform != "tpu":
+        return None
+    low = kind.lower()
+    for needle, (tf, gb) in _TPU_PEAKS:
+        if needle in low:
+            return kind, tf, gb
+    return None
+
+
 @contextlib.contextmanager
 def trace(logdir: Optional[str] = None):
     """Capture a jax.profiler device trace (TensorBoard format).

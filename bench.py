@@ -504,11 +504,19 @@ def run_featurized() -> None:
     n_groups = int(ids.max()) + 1
     k_exp = n_groups * (1 + spec.n_basis)
     flops_useful = cmap.n_cg_sites * 3 * 2 * n_frames * k_exp * k_exp
-    peak = 197e12  # v5e bf16 MXU peak
     tflops = flops_useful / elapsed / 1e12
-    mfu = flops_useful / elapsed / peak
-    log(f"useful Gram FLOPs {flops_useful/1e9:.1f} GF -> {tflops:.1f} TF/s, "
-        f"MFU {100*mfu:.1f}% of bf16 peak")
+    from aggforce_tpu.utils.prof import device_peaks
+
+    peaks = device_peaks()
+    if peaks is None:
+        mfu = None
+        log(f"useful Gram FLOPs {flops_useful/1e9:.1f} GF -> {tflops:.1f} "
+            f"TF/s (device model unknown: no MFU)")
+    else:
+        kind, peak_tf, _ = peaks
+        mfu = tflops / peak_tf
+        log(f"useful Gram FLOPs {flops_useful/1e9:.1f} GF -> {tflops:.1f} "
+            f"TF/s, MFU {100*mfu:.1f}% of {kind} bf16 peak")
 
     rep = fix.get("staging_report")
     staging_extra = {}
@@ -536,7 +544,7 @@ def run_featurized() -> None:
             **staging_extra,
             "warmup_wait_s": round(warmup_wait_s, 3),
             "tflops": round(tflops, 2),
-            "mfu": round(mfu, 4),
+            **({"mfu": round(mfu, 4)} if mfu is not None else {}),
             "solver_resid": float(tmap.force_map.tags["solver_resid"]),
             "pipelined_frames_per_sec": round(pipelined, 2),
         },

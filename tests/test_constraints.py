@@ -95,3 +95,50 @@ def test_detection_far_from_origin():
     assert frozenset({0, 1}) in found
     near = guess_pairwise_constraints(coords.astype(np.float32), threshold=1e-3)
     assert found == near
+
+
+def test_fold_probe_matches_exact_detection():
+    """The one-pass per-fold probe must predict exactly what detection on
+    each training subset returns (far from the threshold)."""
+    from aggforce_tpu.constraints import guess_pairwise_constraints
+    from aggforce_tpu.constraints.finder import fold_train_constraint_probe
+
+    rng = np.random.default_rng(0)
+    n_frames, n = 240, 12
+    base = rng.normal(scale=0.8, size=(n, 3))
+    # pairs (0,1) and (4,5) rigidly constrained, everything else floppy
+    coords = np.empty((n_frames, n, 3), np.float32)
+    for t in range(n_frames):
+        wiggle = 0.05 * rng.normal(size=(n, 3))
+        wiggle[1] = wiggle[0]
+        wiggle[5] = wiggle[4]
+        coords[t] = base + wiggle
+    coords[:, 1] = coords[:, 0] + np.array([0.15, 0.0, 0.0], np.float32)
+    coords[:, 5] = coords[:, 4] + np.array([0.0, 0.2, 0.0], np.float32)
+
+    frames = np.arange(n_frames)
+    rng.shuffle(frames)
+    folds = np.array_split(frames, 4)
+    predicted = fold_train_constraint_probe(coords, folds)
+    assert predicted is not None
+    for held, pred in zip(folds, predicted):
+        train_idx = np.setdiff1d(np.arange(n_frames), held)
+        exact = guess_pairwise_constraints(coords[train_idx])
+        assert pred == exact, (pred, exact)
+
+
+def test_fold_probe_flags_near_threshold():
+    """A pair whose train sd sits at the threshold must force the exact
+    fallback (None) instead of guessing."""
+    from aggforce_tpu.constraints.finder import fold_train_constraint_probe
+
+    rng = np.random.default_rng(1)
+    n_frames, n = 120, 6
+    coords = rng.normal(scale=0.5, size=(n_frames, n, 3)).astype(np.float32)
+    # engineer pair (0,1): distance sd right at the 1e-3 threshold
+    coords[:, 1] = coords[:, 0]
+    coords[:, 1, 0] += 0.3 + 1e-3 * rng.normal(size=n_frames).astype(np.float32)
+    folds = np.array_split(np.arange(n_frames), 3)
+    # the engineered sd lands within ~10% of the threshold; a margin wide
+    # enough to see it must force the exact fallback
+    assert fold_train_constraint_probe(coords, folds, margin_rel=0.2) is None

@@ -21,11 +21,23 @@ from aggforce_tpu.qp.fusedfeat import (  # noqa: E402
 )
 from aggforce_tpu.ops import pallas_gram as pg  # noqa: E402
 from aggforce_tpu.utils.pdblite import ca_map_from_pdb, n_atoms  # noqa: E402
+from aggforce_tpu.utils.prof import device_peaks  # noqa: E402
 from aggforce_tpu.utils.synth import synthesize_protein_fixture  # noqa: E402
 
-# v5e (TPU v5 lite): 197 TFLOP/s bf16 MXU peak, ~819 GB/s HBM.
-PEAK_BF16_TFLOPS = 197.0
-PEAK_HBM_GBS = 819.0
+# per-chip peaks looked up from the live device model; MFU is only printed
+# when the model is known (a hardcoded peak on the wrong chip reports a
+# silently wrong utilization)
+_peaks = device_peaks()
+if _peaks is None:
+    DEVICE_KIND = jax.devices()[0].device_kind
+    PEAK_BF16_TFLOPS = None
+    PEAK_HBM_GBS = None
+    print(f"device model {DEVICE_KIND!r} not in the peak table: raw TF/s and "
+          "GB/s only, no MFU percentages")
+else:
+    DEVICE_KIND, PEAK_BF16_TFLOPS, PEAK_HBM_GBS = _peaks
+    print(f"device: {DEVICE_KIND} (peaks {PEAK_BF16_TFLOPS:.0f} TF/s bf16, "
+          f"{PEAK_HBM_GBS:.0f} GB/s HBM)")
 
 PDB = "/root/reference/tests/data/cln025.pdb"
 frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
@@ -101,8 +113,14 @@ def report(name, secs):
     tf_exec = flops_exec / secs / 1e12
     tf_useful = flops_useful / secs / 1e12
     gbs = bytes_rw / secs / 1e9
+    if PEAK_BF16_TFLOPS is None:
+        print(f"{name:<24s} {secs*1e3:8.2f} ms  exec {tf_exec:6.1f} TF/s  "
+              f"useful {tf_useful:6.1f} TF/s  HBM {gbs:6.1f} GB/s  "
+              f"[unknown device model: no MFU]")
+        return
     print(f"{name:<24s} {secs*1e3:8.2f} ms  exec {tf_exec:6.1f} TF/s "
-          f"(MFU {100*tf_exec/PEAK_BF16_TFLOPS:4.1f}%)  useful {tf_useful:6.1f} TF/s "
+          f"(MFU {100*tf_exec/PEAK_BF16_TFLOPS:4.1f}% of {DEVICE_KIND})  "
+          f"useful {tf_useful:6.1f} TF/s "
           f"(MFU {100*tf_useful/PEAK_BF16_TFLOPS:4.1f}%)  HBM {gbs:6.1f} GB/s "
           f"({100*gbs/PEAK_HBM_GBS:4.1f}%)")
 
