@@ -103,7 +103,7 @@ def _lazy_shift_factor(
 
 
 def _schur_tail(
-    chol_m: jax.Array,  # (b, n, n) factor of the augmented operator
+    Z: jax.Array,  # (b, n, m) = M^{-1} A^T per problem
     An: jax.Array,  # (b, m, n) row-equilibrated constraints
     Bn: jax.Array,  # (b, m, k) equilibrated targets
     delta: float,
@@ -113,19 +113,18 @@ def _schur_tail(
 ):
     """Range-space solve + early-exit refinement shared by all auglag paths.
 
-    Z = M^{-1} A^T via one batched multi-RHS Cholesky solve, lambda from the
-    m x m Schur complement S = A M^{-1} A^T (factored with the same lazy
-    shift escalation — redundant constraint rows occur routinely for
-    frame-sampled orthogonality systems), x = Z lambda, then refinement
-    sweeps on the constraint residual that stop as soon as the whole batch
-    is below ``refine_tol`` (measured convergence replaces the old fixed
-    sweep count — typically 1-2 sweeps instead of 8, each sweep costing two
+    Given Z = M^{-1} A^T, lambda comes from the m x m Schur complement
+    S = A M^{-1} A^T (factored with the same lazy shift escalation —
+    redundant constraint rows occur routinely for frame-sampled
+    orthogonality systems), x = Z lambda, then refinement sweeps on the
+    constraint residual that stop as soon as the whole batch is below
+    ``refine_tol`` (measured convergence replaces the old fixed sweep
+    count — typically 1-2 sweeps instead of 8, each sweep costing two
     batched triangular substitutions that are latency-bound on TPU).
     Returns (x, per-problem max |An x - Bn|).
     """
     dtype = An.dtype
     m = An.shape[1]
-    Z = _solve_spd(chol_m, jnp.swapaxes(An, 1, 2))  # (b, n, m)
     S = jnp.matmul(An, Z, precision="highest")
     # f32 rounding through Z leaves S slightly asymmetric and, for
     # near-dependent sampled rows, indefinite by O(eps * cond): symmetrize
@@ -235,8 +234,9 @@ def batched_eqp_solve_auglag(
         jnp.swapaxes(An, 1, 2), An, precision="highest"
     )
     chol_m = _lazy_shift_factor(M, [delta, delta_fallback])
+    Z = _solve_spd(chol_m, jnp.swapaxes(An, 1, 2))  # (b, n, m)
     x, resid = _schur_tail(
-        chol_m, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
+        Z, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
     )
     if return_resid:
         return x, resid
@@ -298,6 +298,7 @@ def batched_eqp_solve_shared(
     With ``return_resid=True`` also returns the (f, s) residual matrix.
     """
     f, s = A.shape[0], A.shape[1]
+    m = A.shape[2]
     dtype = P.dtype
     n = P.shape[-1]
     p_scale = (
@@ -310,13 +311,25 @@ def batched_eqp_solve_shared(
     row_norm = jnp.linalg.norm(A, axis=3, keepdims=True) + jnp.asarray(
         1e-30, dtype
     )
-    An = (A / row_norm).reshape(f * s, A.shape[2], n)
+    An = (A / row_norm).reshape(f * s, m, n)
     Bn = (B / row_norm).reshape(f * s, B.shape[2], B.shape[3])
-    chol_m = jnp.broadcast_to(chol_site[None], (f,) + chol_site.shape).reshape(
+    # one explicit inverse per site (n triangular RHS, shared by the whole
+    # window) and every problem's Z = M^{-1} A^T as a batched MXU GEMM —
+    # versus f x s triangular substitutions of m RHS each. Measured against
+    # the float64 oracle on the production featurized system, the
+    # explicit-inverse Z is numerically indistinguishable from the
+    # triangular-solve Z (the classic inverse-instability concern applies
+    # to ITERATING with an inverse; here it is applied once and the Schur
+    # refinement works against the exact An), and the residual diagnostic
+    # still guards escalation. Unconditional so a problem's numerics are
+    # independent of the window size (single fit == fit inside any batch).
+    minv = _solve_spd(chol_site, jnp.eye(n, dtype=dtype)[None].repeat(s, 0))
+    minv_b = jnp.broadcast_to(minv[None], (f,) + minv.shape).reshape(
         f * s, n, n
     )
+    Z = jnp.matmul(minv_b, jnp.swapaxes(An, 1, 2), precision="highest")
     x, resid = _schur_tail(
-        chol_m, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
+        Z, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
     )
     x = x.reshape(f, s, n, -1)
     if return_resid:
