@@ -128,6 +128,35 @@ def main() -> None:
         f"streamed fit: {time.perf_counter() - t0:.3f}s; mapped-force RMS "
         f"deviation vs in-memory fit {rms:.2e}"
     )
+
+    # ---- multi-device variant: chunks round-robin over a mesh ----
+    # (each process streams only its frame_slice in the multi-host case —
+    # see tests/test_distributed.py for the two-process pattern)
+    import jax
+
+    if len(jax.devices()) > 1:
+        from aggforce_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        t0 = time.perf_counter()
+        tmap_m = fused_gb_linear_map_streamed(
+            stream,
+            cmap,
+            kbt=kbt,
+            spec=spec,
+            constraints=constraints,
+            l2_regularization=1e3,
+            constraint_rng=np.random.default_rng(0),
+            mesh=mesh,
+        )
+        _, mf_m = tmap_m.map_arrays(coords[:32], forces[:32])
+        rms_m = float(
+            np.sqrt(np.mean((np.asarray(mf_m) - np.asarray(mf)) ** 2))
+        )
+        print(
+            f"mesh-streamed fit ({mesh.devices.size} devices): "
+            f"{time.perf_counter() - t0:.3f}s; RMS vs in-memory {rms_m:.2e}"
+        )
     print("production fit demo OK")
 
 
