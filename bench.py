@@ -510,7 +510,10 @@ def run_featurized() -> None:
     # clocks on remote-attached devices
     from aggforce_tpu.qp.fusedfeat import fused_gb_linear_map_batch
 
-    n_batch = 10
+    # one full flush window (16): window-aligned so no padded solves, and
+    # the per-window fixed cost (Gram pass + dispatch round-trip + per-site
+    # factorization) amortizes over every fit reported
+    n_batch = 16
     # untimed warm call: loading/compiling the batch executable happens
     # here, so the timed call below measures steady-state batch throughput
     fused_gb_linear_map_batch(

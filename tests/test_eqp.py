@@ -98,3 +98,56 @@ def test_batched_solver():
     for i, (p, a, b) in enumerate(problems):
         expect = eqp_solve_host(p, a, b[:, None])[:, 0]
         np.testing.assert_allclose(X[i, :, 0], expect, atol=1e-3)
+
+
+def test_shared_solver_matches_host_oracle():
+    """batched_eqp_solve_shared: every (fit, site) problem must match the
+    float64 oracle, with the per-site cost matrix shared across fits."""
+    from aggforce_tpu.ops.eqp import batched_eqp_solve_shared
+
+    rng = np.random.default_rng(7)
+    s, f, n, m = 3, 4, 20, 6
+    P = np.stack(
+        [
+            (lambda F: (F.T @ F / 100 + 0.5 * np.eye(n)).astype(np.float32))(
+                rng.normal(size=(100, n))
+            )
+            for _ in range(s)
+        ]
+    )
+    A = rng.normal(size=(f, s, m, n)).astype(np.float32)
+    B = rng.normal(size=(f, s, m, 1)).astype(np.float32)
+    X, R = batched_eqp_solve_shared(P, A, B, return_resid=True)
+    X = np.asarray(X)
+    assert np.asarray(R).shape == (f, s)
+    for fi in range(f):
+        for si in range(s):
+            expect = eqp_solve_host(P[si], A[fi, si], B[fi, si])
+            np.testing.assert_allclose(X[fi, si], expect, atol=5e-4)
+    assert float(np.asarray(R).max()) < 1e-5
+
+
+def test_shared_solver_batch_invariance():
+    """A problem's solution must be identical whether it is solved alone
+    (fit-batch of one) or inside a larger batch — the refinement loop is
+    per-problem masked and the Z construction is window-size independent."""
+    from aggforce_tpu.ops.eqp import batched_eqp_solve_shared
+
+    rng = np.random.default_rng(8)
+    s, f, n, m = 2, 5, 16, 4
+    P = np.stack(
+        [
+            (lambda F: (F.T @ F / 60 + 0.2 * np.eye(n)).astype(np.float32))(
+                rng.normal(size=(60, n))
+            )
+            for _ in range(s)
+        ]
+    )
+    A = rng.normal(size=(f, s, m, n)).astype(np.float32)
+    B = rng.normal(size=(f, s, m, 1)).astype(np.float32)
+    X_all = np.asarray(batched_eqp_solve_shared(P, A, B))
+    for fi in range(f):
+        X_one = np.asarray(
+            batched_eqp_solve_shared(P, A[fi : fi + 1], B[fi : fi + 1])
+        )[0]
+        np.testing.assert_array_equal(X_all[fi], X_one)

@@ -66,3 +66,10 @@ def test_sharded_example():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "sharded demo OK" in proc.stdout
     assert "mesh: OrderedDict({'frames': 8})" in proc.stdout
+
+
+@pytest.mark.slow
+def test_multihost_sweep_demo():
+    proc = _run("multihost_sweep.py", "--demo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "multihost sweep demo OK" in proc.stdout
