@@ -37,6 +37,7 @@ import numpy as np
 
 __all__ = [
     "WarmupHandle",
+    "warm_featurized_batch",
     "warm_featurized_fit",
     "warm_linear_fit",
     "warm_gauss_fit",
@@ -148,6 +149,53 @@ def warm_featurized_fit(
         )
 
     return WarmupHandle(work, "featurized-fit")
+
+
+def warm_featurized_batch(
+    n_frames: int,
+    coord_map,
+    spec,
+    constraints=None,
+    batch: int = 16,
+    kbt: float = 0.7,
+    l2_regularization: float = 1e1,
+    n_constraint_frames: int = 20,
+    chunk_size: int = 2048,
+    solver_iters: int = 40,
+    use_pallas="auto",
+) -> WarmupHandle:
+    """Warm the shared-Gram batch-fit program for the given window size.
+
+    The batch executable (one Gram pass + per-site factorization shared by
+    ``batch`` fits) is distinct from the single-fit program; bootstrap
+    pipelines that go straight to :func:`fused_gb_linear_map_batch` warm it
+    here so the first real window runs at steady-state speed. May run
+    concurrently with :func:`warm_featurized_fit` — the jit caches are
+    thread-safe, and parallel warm-ups overlap their compile/cache-load
+    RPCs on remote-attached devices.
+    """
+
+    def work() -> None:
+        from ..qp.fusedfeat import fused_gb_linear_map_batch
+
+        traj = _synth_device_traj(n_frames, coord_map.n_fg_sites, seed=0)
+        fused_gb_linear_map_batch(
+            traj,
+            coord_map,
+            kbt=kbt,
+            spec=spec,
+            seeds=range(batch),
+            constraints=constraints,
+            n_constraint_frames=n_constraint_frames,
+            l2_regularization=l2_regularization,
+            chunk_size=chunk_size,
+            solver_iters=solver_iters,
+            resid_tol=float("inf"),
+            use_pallas=use_pallas,
+            flush_every=batch,
+        )
+
+    return WarmupHandle(work, "featurized-batch")
 
 
 def warm_linear_fit(

@@ -87,3 +87,23 @@ def test_warm_featurized_fit_with_mesh():
     )
     mc, mf = tmap.map_arrays(coords[:8], forces[:8])
     assert np.all(np.isfinite(mf))
+
+
+def test_warm_featurized_batch_completes():
+    from aggforce_tpu.qp.fusedfeat import fused_gb_linear_map_batch
+    from aggforce_tpu.utils.warmup import warm_featurized_batch
+
+    cmap, constraints, coords, forces = _system()
+    spec = GBFeatSpec(outer=2.0, n_basis=3)
+    handle = warm_featurized_batch(
+        64, cmap, spec, constraints, batch=4, chunk_size=32
+    )
+    handle.wait()
+    assert handle.error is None, handle.error
+    # the warmed program serves the real batch fit
+    maps = fused_gb_linear_map_batch(
+        Trajectory(coords=coords, forces=forces), cmap,
+        kbt=0.7, spec=spec, seeds=range(4), constraints=constraints,
+        chunk_size=32, flush_every=4,
+    )
+    assert len(maps) == 4
