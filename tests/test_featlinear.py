@@ -390,3 +390,36 @@ def test_fused_batch_frees_window_buffers(waterdimer):
         if a.ndim >= 3 and a.shape[0] == window
     ]
     assert not leaked, f"window-sized device buffers still live: {leaked}"
+
+
+def test_fused_batch_escalation_path(waterdimer):
+    """resid_tol=-1 declares every batched solve unconverged: the per-fit
+    constraint systems must be fetched and the float64 escalation must
+    produce maps matching the single-fit escalation."""
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:96].astype(np.float32)
+    forces = waterdimer["forces"][:96].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    kw = dict(kbt=0.5, spec=spec, constraints=set(), l2_regularization=1e3)
+    batch = fused_gb_linear_map_batch(
+        traj, cmap, seeds=[5, 6], resid_tol=-1.0, **kw
+    )
+    single = fused_gb_linear_map(
+        traj, cmap, constraint_rng=np.random.default_rng(5),
+        resid_tol=-1.0, **kw
+    )
+    assert batch[0].force_map.tags["solver_resid"] < 1e-6  # f64 achieved
+    _, f_b = batch[0].map_arrays(coords[:16], forces[:16])
+    _, f_s = single.map_arrays(coords[:16], forces[:16])
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)

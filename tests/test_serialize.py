@@ -151,3 +151,30 @@ def test_mesh_fitted_fused_map_roundtrip(tmp_path, waterdimer):
     _, f0 = tmap.map_arrays(coords[:10], forces[:10])
     _, f1 = loaded.map_arrays(coords[:10], forces[:10])
     np.testing.assert_allclose(f1, f0, atol=1e-6)
+
+
+def test_fused_staged_map_roundtrip(tmp_path, rng):
+    """A staged Gaussian map built by the FUSED one-dispatch pipeline must
+    serialize and reproduce its deterministic (seeded) application."""
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.jgauss import stagedjoptgauss_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    n = 9
+    coords = rng.normal(size=(80, n, 3)).astype(np.float32)
+    forces = rng.normal(size=(80, n, 3)).astype(np.float32)
+    cmap = LinearMap([[0], [3], [6]], n_fg_sites=n)
+    traj = Trajectory(
+        coords=jnp.asarray(coords), forces=jnp.asarray(forces)
+    )  # device-resident -> fused pipeline engaged
+    tmap = stagedjoptgauss_map(
+        traj=traj, coord_map=cmap, var=0.01, kbt=0.7,
+        constraints={frozenset({1, 2})}, seed=21,
+    )
+    tmap2 = roundtrip(tmp_path, tmap)
+    a = tmap.map_arrays(coords[:8], forces[:8])
+    b = tmap2.map_arrays(coords[:8], forces[:8])
+    # the post augmenter's PRNG state round-trips, so draws coincide
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
