@@ -47,6 +47,62 @@ def _checked_trjdot(
     return result, jnp.asarray(False)
 
 
+@partial(jax.jit, static_argnames=("nh_c", "nh_f"))
+def _dual_checked_trjdot(
+    cmat: jax.Array,
+    fmat: jax.Array,
+    coords: jax.Array,
+    forces: jax.Array,
+    nh_c: bool,
+    nh_f: bool,
+):
+    """Both maps of a SeperableTMap in ONE program with both NaN verdicts.
+
+    Applying the coordinate and force maps separately costs one blocking
+    host sync PER MAP for the NaN verdict (each ``bool(bad)`` is a D2H
+    round-trip — 10-45 ms apiece on remote-attached devices). This kernel
+    emits (mapped_coords, mapped_forces, bad_c, bad_f) together so the
+    caller fetches both verdicts in one transfer.
+    """
+    mc, bad_c = _checked_trjdot(cmat, coords, nh_c)
+    mf, bad_f = _checked_trjdot(fmat, forces, nh_f)
+    return mc, mf, bad_c, bad_f
+
+
+def fused_separable_apply(coord_map, force_map, coords, forces):
+    """One-program SeperableTMap application for two JLinearMaps.
+
+    Returns (mapped_coords, mapped_forces) with exactly the raise/type
+    semantics of applying each map individually, or None when either map
+    is not a JLinearMap (callers fall back to the piecewise path).
+    """
+    if not isinstance(coord_map, JLinearMap) or not isinstance(
+        force_map, JLinearMap
+    ):
+        return None
+    numpy_in = isinstance(coords, np.ndarray)
+    mc, mf, bad_c, bad_f = _dual_checked_trjdot(
+        coord_map._jax_standard_matrix,
+        force_map._jax_standard_matrix,
+        jnp.asarray(coords) if numpy_in else coords,
+        jnp.asarray(forces) if isinstance(forces, np.ndarray) else forces,
+        bool(coord_map.handle_nans),
+        bool(force_map.handle_nans),
+    )
+    raise_c = coord_map.handle_nans and not coord_map.bypass_nan_check
+    raise_f = force_map.handle_nans and not force_map.bypass_nan_check
+    if raise_c or raise_f:
+        bad_c_v, bad_f_v = jax.device_get((bad_c, bad_f))  # ONE round-trip
+        if (raise_c and bool(bad_c_v)) or (raise_f and bool(bad_f_v)):
+            raise ValueError(
+                "NaN handling is on and multiplication tried to use a NaN "
+                "value. Check the input array and standard_matrix."
+            )
+    if numpy_in:
+        return np.asarray(mc), np.asarray(mf)
+    return mc, mf
+
+
 class JLinearMap(LinearMap):
     """LinearMap whose application runs as a jitted XLA kernel.
 

@@ -64,7 +64,19 @@ class SeperableTMap(TMap):
         self.force_map = force_map
 
     def __call__(self, t: Trajectory) -> Trajectory:
-        """Map coords and forces independently."""
+        """Map coords and forces independently.
+
+        Two JLinearMap submaps fuse into one program with one combined
+        NaN-verdict fetch (each individual application would block on its
+        own verdict round-trip on remote-attached devices).
+        """
+        from .jaxlinear import fused_separable_apply
+
+        fused = fused_separable_apply(
+            self.coord_map, self.force_map, t.coords, t.forces
+        )
+        if fused is not None:
+            return Trajectory(coords=fused[0], forces=fused[1])
         return Trajectory(
             coords=self.coord_map(t.coords), forces=self.force_map(t.forces)
         )

@@ -145,3 +145,50 @@ def test_smear_map(rng):
         smear_map([[0, 1], [1, 2]], n_sites=4)
     mat = smear_map([[0, 2]], n_sites=4, return_mapping_matrix=True)
     assert isinstance(mat, np.ndarray)
+
+
+def test_separable_fused_apply_matches_piecewise():
+    """SeperableTMap over two JLinearMaps (fused single-program path) must
+    equal applying each map individually, including NaN raise semantics."""
+    import numpy as np
+    import pytest
+
+    from aggforce_tpu.map import JLinearMap, SeperableTMap
+    from aggforce_tpu.trajectory import Trajectory
+
+    rng = np.random.default_rng(0)
+    cmat = rng.normal(size=(2, 5)).astype(np.float32)
+    fmat = rng.normal(size=(2, 5)).astype(np.float32)
+    cm, fm = JLinearMap(cmat), JLinearMap(fmat)
+    tmap = SeperableTMap(coord_map=cm, force_map=fm)
+    coords = rng.normal(size=(7, 5, 3)).astype(np.float32)
+    forces = rng.normal(size=(7, 5, 3)).astype(np.float32)
+    out = tmap(Trajectory(coords=coords, forces=forces))
+    np.testing.assert_allclose(np.asarray(out.coords), cm(coords), atol=0)
+    np.testing.assert_allclose(np.asarray(out.forces), fm(forces), atol=0)
+    assert isinstance(out.coords, np.ndarray)  # numpy in -> numpy out
+
+    import jax.numpy as jnp
+
+    out_dev = tmap(
+        Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces))
+    )
+    import jax
+
+    assert isinstance(out_dev.coords, jax.Array)  # jax in -> jax out
+    np.testing.assert_allclose(
+        np.asarray(out_dev.forces), fm(forces), atol=1e-6
+    )
+
+    # a participating NaN raises exactly like the piecewise path
+    bad = coords.copy()
+    bad[0, 0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN handling is on"):
+        tmap(Trajectory(coords=bad, forces=forces))
+    # bypass maps let NaNs flow as filled zeros without raising
+    tmap_bypass = SeperableTMap(
+        coord_map=JLinearMap(cmat, bypass_nan_check=True),
+        force_map=JLinearMap(fmat, bypass_nan_check=True),
+    )
+    out2 = tmap_bypass(Trajectory(coords=bad, forces=forces))
+    assert np.all(np.isfinite(np.asarray(out2.coords)))
