@@ -598,14 +598,20 @@ class FusedGBMap(CLAMap):
         )
 
     def __call__(self, points, copoints):
-        """Fused, frame-chunked application.
+        """Fused, frame-chunked application (type-preserving).
 
         Overrides the generic CLAMap path (which materializes the full
         (T, S, N) scale tensor and recomputes the geometry for scale and
         trans separately): each chunk runs one jitted kernel computing the
         geometry once and emitting the mapped forces directly, so
-        sweep-scale trajectories apply in bounded memory.
+        sweep-scale trajectories apply in bounded memory. Device (jax)
+        inputs yield device outputs — chunk results concatenate on device
+        and nothing round-trips to the host; numpy inputs fetch per chunk
+        (bounded host memory) and return numpy, matching CLAMap semantics.
         """
+        device_in = isinstance(points, jax.Array) or isinstance(
+            copoints, jax.Array
+        )
         t = points.shape[0]
         chunk = 4096
         outs = []
@@ -618,7 +624,9 @@ class FusedGBMap(CLAMap):
                 self._onehot, self._counts, self._centers, self._kbt,
                 self._spec,
             )
-            outs.append(np.asarray(mapped))
+            outs.append(mapped if device_in else np.asarray(mapped))
+        if device_in:
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return np.concatenate(outs, axis=0)
 
 
@@ -1255,4 +1263,13 @@ def _package_fused_map(
         spec=spec,
         tags={"coef_list": list(coefs_np), "solver_resid": resid_val},
     )
+    from ..map import JLinearMap
+
+    # device-native coordinate map so device-resident trajectories apply
+    # without a host round-trip (numpy in -> numpy out is preserved);
+    # plain LinearMap coordinate maps would pull device coords to host
+    if isinstance(coord_map, LinearMap) and not isinstance(
+        coord_map, JLinearMap
+    ):
+        coord_map = JLinearMap.from_linearmap(coord_map)
     return CLAFTMap(coord_map=coord_map, force_map=force_map)

@@ -247,3 +247,36 @@ def test_bypass_premap_fills_nans_like_legacy(small_system):
     np.testing.assert_allclose(
         np.asarray(fc)[:, n_real:], np.asarray(y), atol=1e-6
     )
+
+
+def test_fused_featurized_apply_stays_on_device(waterdimer):
+    """CLAFTMap application of a fused featurized map keeps device inputs
+    on device end to end (coords through the JLinearMap coordinate map,
+    forces through the chunked FusedGBMap kernel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:120].astype(np.float32)
+    forces = waterdimer["forces"][:120].astype(np.float32)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    tmap = fused_gb_linear_map(
+        Trajectory(coords=coords, forces=forces), cmap,
+        kbt=0.5, spec=GBFeatSpec(outer=1.0, n_basis=3), constraints=set(),
+        l2_regularization=1e3, constraint_rng=np.random.default_rng(0),
+    )
+    out = tmap(
+        Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces))
+    )
+    assert isinstance(out.coords, jax.Array)
+    assert isinstance(out.forces, jax.Array)
+    # numpy input still returns numpy (CLAMap host semantics preserved)
+    out_np = tmap(Trajectory(coords=coords, forces=forces))
+    assert isinstance(out_np.forces, np.ndarray)
+    np.testing.assert_allclose(
+        np.asarray(out.forces), out_np.forces, atol=1e-5
+    )
