@@ -104,3 +104,45 @@ def test_float16_staging_preserves_fit_quality(waterdimer):
     rms = np.sqrt(np.mean((np.asarray(f32) - np.asarray(f16)) ** 2))
     scale = np.sqrt(np.mean(np.asarray(f32) ** 2))
     assert rms < 5e-3 * scale
+
+
+def test_degraded_chunk_triggers_retry(monkeypatch):
+    """A chunk measuring below the degraded threshold (with a meaningful
+    sample duration) must be retried within budget and flagged."""
+    from aggforce_tpu.io import staging as st
+
+    calls = {"n": 0}
+    real_put = st._put_chunk
+
+    def slow_put(chunk_np, device):
+        calls["n"] += 1
+        dev, _ = real_put(chunk_np, device)
+        # fake a slow, meaningful sample: 1 MB chunk "took" 1 s -> 1 MB/s
+        return dev, 1.0
+
+    monkeypatch.setattr(st, "_put_chunk", slow_put)
+    arr = np.zeros((64, 2048), np.float32)  # 512 KB
+    (out,), report = st.stage_arrays([arr], chunk_bytes=1 << 30, max_retries=2)
+    # one payload chunk + one retry
+    assert calls["n"] == 2
+    assert report.retries == 1
+    assert report.slow_chunks == 1
+    assert report.degraded
+    np.testing.assert_array_equal(np.asarray(out), arr)
+
+
+def test_fast_chunks_never_retry(monkeypatch):
+    from aggforce_tpu.io import staging as st
+
+    calls = {"n": 0}
+    real_put = st._put_chunk
+
+    def counting_put(chunk_np, device):
+        calls["n"] += 1
+        return real_put(chunk_np, device)
+
+    monkeypatch.setattr(st, "_put_chunk", counting_put)
+    arr = np.zeros((64, 256), np.float32)
+    (out,), report = st.stage_arrays([arr], chunk_bytes=1 << 14, max_retries=2)
+    assert calls["n"] == report.n_chunks  # no retries on the local backend
+    assert report.retries == 0 and not report.degraded
