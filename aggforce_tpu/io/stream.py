@@ -99,11 +99,13 @@ class TrajectoryStream:
         sub-range — the multi-host pattern where each process streams only
         its :func:`aggforce_tpu.parallel.distributed.process_frame_slice`.
         """
-        lo, hi, _ = (
+        lo, hi, step = (
             frame_slice.indices(self.n_frames)
             if frame_slice is not None
             else (0, self.n_frames, 1)
         )
+        if step != 1:
+            raise ValueError("frame_slice must be contiguous (step 1).")
         c = self.chunk_size
         for start in range(lo, hi, c):
             stop = min(start + c, hi)

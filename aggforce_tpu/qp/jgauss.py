@@ -107,6 +107,11 @@ def _try_staged_fused(
         return None
     if post_opts.get("backend", "auto") not in ("auto", "device"):
         return None
+    # custom solver tuning (delta/refine_iters) is honored only by the
+    # piecewise fits; the fused program runs the default device solver
+    for opts in (pre_opts, post_opts):
+        if set(opts) - {"backend", "resid_tol"}:
+            return None
     import jax
 
     if isinstance(traj.forces, jax.Array) and traj.forces.dtype == np.float64:
