@@ -854,6 +854,65 @@ def _fit_coefs_batch_e2e(
     return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_chunks", "solver_iters", "use_pallas", "mesh", "t_block"
+    ),
+)
+def _fit_coefs_batch_mesh(
+    coords_p: jax.Array,  # (T_pad, N, 3) frame-sharded over the mesh
+    forces_p: jax.Array,
+    mask: jax.Array,
+    constr_coords_b: jax.Array,  # (B, F, N, 3) replicated
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    solver_delta: jax.Array,
+    solver_iters: int,
+    use_pallas: bool,
+    mesh,
+    t_block: int = 256,
+):
+    """Mesh twin of :func:`_fit_coefs_batch_e2e`: ONE frame-sharded Gram
+    pass (psum over ICI) shared by B fits, replicated assemblies + the
+    shared-factor solve. Constraint frames arrive as gathered coordinates
+    (replicated operand) rather than indices, so no cross-shard gather is
+    needed inside the program."""
+    dtype = coords_p.dtype
+    if use_pallas:
+        gram, _, _ = _pallas_mesh_fit_parts(
+            coords_p, forces_p, mask, constr_coords_b[0, :1], cmap_mat,
+            group_mean, onehot, counts, centers, kbt, l2_regularization,
+            spec, mesh=mesh, t_block=t_block,
+        )
+    else:
+        gram, _, _ = _fused_fit_parts(
+            coords_p, forces_p, mask, constr_coords_b[0, :1], cmap_mat,
+            group_mean, onehot, counts, centers, kbt, l2_regularization,
+            spec, n_chunks, mesh=mesh,
+        )
+
+    def per_fit_rows(constr_coords):
+        return _assemble_constraint_system(
+            constr_coords, cmap_mat, group_mean, onehot, counts, centers,
+            spec, dtype,
+        )
+
+    rows_b, b_b = jax.vmap(per_fit_rows)(constr_coords_b)
+    coefs_b, resid_fs = batched_eqp_solve_shared(
+        gram, rows_b, b_b[..., None], delta=solver_delta,
+        iters=solver_iters, return_resid=True,
+    )
+    return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
+
+
 def group_factorization(
     coord_map: LinearMap, spec: GBFeatSpec, constraints: Constraints
 ) -> dict:
@@ -944,6 +1003,7 @@ def fused_gb_linear_map_batch(
     resid_tol: float = 1e-4,
     use_pallas: Union[bool, str] = "auto",
     flush_every: int = 16,
+    mesh=None,
 ):
     """Fit one map per constraint-sample seed, sharing ONE Gram pass.
 
@@ -959,12 +1019,17 @@ def fused_gb_linear_map_batch(
     over the sampled orthogonality frames, or simply fitting many maps
     fast. Returns a list of CLAFTMaps (one per seed), each
     convergence-checked exactly like :func:`fused_gb_linear_map`.
+
+    With ``mesh`` (1-D, axis "frames") each window's single Gram pass is
+    frame-sharded across the devices (psum over ICI) while the per-seed
+    constraint assemblies and the shared-factor solve run replicated —
+    the batch and mesh compositions stack.
     """
     if constraints is None:
         constraints = set()
     seeds = list(seeds)
     setup = _prepare_fused_setup(
-        traj, coord_map, spec, constraints, chunk_size, None, use_pallas
+        traj, coord_map, spec, constraints, chunk_size, mesh, use_pallas
     )
     t = setup["t"]
     t_pad, t_blk = setup["t_pad"], setup["t_blk"]
@@ -974,6 +1039,29 @@ def fused_gb_linear_map_batch(
     n_cf = min(n_constraint_frames, t)
     coords_dev = jnp.asarray(traj.coords)
     forces_dev = jnp.asarray(traj.forces)
+    if mesh is not None:
+        # stage the padded, frame-sharded trajectory ONCE for every window
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        if setup["use_pallas"]:
+            t_pad = -(-t_pad // (n_dev * t_blk)) * (n_dev * t_blk)
+        else:
+            t_pad = -(-t_pad // n_dev) * n_dev
+        pad3 = ((0, t_pad - t), (0, 0), (0, 0))
+        sharding = NamedSharding(mesh, P("frames"))
+        coords_sh = jax.device_put(
+            jnp.pad(coords_dev.astype(dtype), pad3), sharding
+        )
+        forces_sh = jax.device_put(
+            jnp.pad(forces_dev.astype(dtype), pad3), sharding
+        )
+        mask_sh = jax.device_put(
+            jnp.asarray(
+                np.concatenate([np.ones(t), np.zeros(t_pad - t)]), dtype
+            ),
+            sharding,
+        )
     common = (
         jnp.asarray(coord_map.standard_matrix, dtype=dtype),
         jnp.asarray(setup["group_mean"], dtype=dtype),
@@ -1013,19 +1101,38 @@ def fused_gb_linear_map_batch(
             idx = np.concatenate(
                 [idx, np.repeat(idx[-1:], window - n_valid, axis=0)]
             )
-        coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_e2e(
-            coords_dev,
-            forces_dev,
-            jnp.asarray(idx),
-            *common,
-            spec,
-            setup["n_chunks"],
-            t_pad,
-            jnp.asarray(solver_delta, dtype=dtype),
-            solver_iters,
-            setup["use_pallas"],
-            t_block=t_blk,
-        )
+        if mesh is not None:
+            # constraint frames gathered from the unsharded original
+            # (small: B x F frames) and passed as a replicated operand
+            constr_b = coords_dev[jnp.asarray(idx)].astype(dtype)
+            coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_mesh(
+                coords_sh,
+                forces_sh,
+                mask_sh,
+                constr_b,
+                *common,
+                spec,
+                setup["n_chunks"],
+                jnp.asarray(solver_delta, dtype=dtype),
+                solver_iters,
+                setup["use_pallas"],
+                mesh,
+                t_block=t_blk,
+            )
+        else:
+            coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_e2e(
+                coords_dev,
+                forces_dev,
+                jnp.asarray(idx),
+                *common,
+                spec,
+                setup["n_chunks"],
+                t_pad,
+                jnp.asarray(solver_delta, dtype=dtype),
+                solver_iters,
+                setup["use_pallas"],
+                t_block=t_blk,
+            )
         fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
         for i in range(n_valid):
             # decide escalation NOW (same predicate _package_fused_map

@@ -253,3 +253,40 @@ def test_sharded_fit_escalates_unconverged_solves(waterdimer):
     assert np.all(np.isfinite(fm))
     expected = np.array([[1, 1, 1, 0, 0, 0], [0, 0, 0, 1, 1, 1]], dtype=float)
     np.testing.assert_allclose(fm, expected, atol=5e-3)
+
+
+def test_batch_fit_over_mesh_matches_single_device(
+    cln_fixture_module, cln_ca_map_module
+):
+    """fused_gb_linear_map_batch(mesh=...): the frame-sharded shared-Gram
+    window must reproduce the single-device batch per seed (up to f32
+    Gram-reduction-order noise, which the well-conditioned protein
+    fixture keeps small)."""
+    import numpy as np
+
+    from aggforce_tpu.parallel.mesh import make_mesh
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map_batch
+    from aggforce_tpu.trajectory import Trajectory
+
+    fix, cmap = cln_fixture_module, cln_ca_map_module
+    coords = fix["coords"][:512].astype(np.float32)
+    forces = fix["forces"][:512].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    spec = GBFeatSpec(outer=8.0, inner=0.0, n_basis=3, width=1.0)
+    kw = dict(
+        kbt=float(fix["kbt"]), spec=spec, seeds=[3, 4, 5],
+        constraints=set(fix["constraint_groups"]),
+        l2_regularization=1e3, flush_every=4,
+    )
+    mesh = make_mesh()
+    assert mesh.devices.size > 1
+    batch_mesh = fused_gb_linear_map_batch(traj, cmap, mesh=mesh, **kw)
+    batch_one = fused_gb_linear_map_batch(traj, cmap, **kw)
+    assert len(batch_mesh) == len(batch_one) == 3
+    for tm, to in zip(batch_mesh, batch_one):
+        _, fm = tm.map_arrays(coords[:16], forces[:16])
+        _, fo = to.map_arrays(coords[:16], forces[:16])
+        scale = np.abs(np.asarray(fo)).max()
+        np.testing.assert_allclose(
+            np.asarray(fm), np.asarray(fo), atol=2e-3 * scale
+        )
