@@ -20,11 +20,16 @@ from ..qp import (
     stagedjoptgauss_map,
     stagedjslicegauss_map,
 )
+from ..qp.fusedfeat import fused_gb_linear_map
 
 MAP_FAMILIES: Dict[str, Callable[..., TMap]] = {
     "basic": constraint_aware_uni_map,
     "linear": qp_linear_map,
     "featurized": qp_feat_linear_map,
+    # the canonical id+gb featurization on the fully fused device path
+    # (what "featurized" auto-dispatches to; exposed directly so sweeps
+    # can name it and pass GBFeatSpec instead of featurizer objects)
+    "fused_featurized": fused_gb_linear_map,
     "gauss": joptgauss_map,
     "staged_gauss": stagedjoptgauss_map,
     "staged_slice_gauss": stagedjslicegauss_map,
