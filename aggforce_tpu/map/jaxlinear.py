@@ -80,12 +80,17 @@ def fused_separable_apply(coord_map, force_map, coords, forces):
         force_map, JLinearMap
     ):
         return None
-    numpy_in = isinstance(coords, np.ndarray)
+    # track numpy-ness PER ARRAY: mixed inputs (numpy coords + device
+    # forces) must come back mixed, exactly as the piecewise per-map path
+    # would return them — converting both from coords alone would silently
+    # fetch device forces to host
+    numpy_c = isinstance(coords, np.ndarray)
+    numpy_f = isinstance(forces, np.ndarray)
     mc, mf, bad_c, bad_f = _dual_checked_trjdot(
         coord_map._jax_standard_matrix,
         force_map._jax_standard_matrix,
-        jnp.asarray(coords) if numpy_in else coords,
-        jnp.asarray(forces) if isinstance(forces, np.ndarray) else forces,
+        jnp.asarray(coords) if numpy_c else coords,
+        jnp.asarray(forces) if numpy_f else forces,
         bool(coord_map.handle_nans),
         bool(force_map.handle_nans),
     )
@@ -98,9 +103,10 @@ def fused_separable_apply(coord_map, force_map, coords, forces):
                 "NaN handling is on and multiplication tried to use a NaN "
                 "value. Check the input array and standard_matrix."
             )
-    if numpy_in:
-        return np.asarray(mc), np.asarray(mf)
-    return mc, mf
+    return (
+        np.asarray(mc) if numpy_c else mc,
+        np.asarray(mf) if numpy_f else mf,
+    )
 
 
 class JLinearMap(LinearMap):

@@ -50,9 +50,13 @@ _BLOCKED_N_THRESHOLD = 256
 
 # Refinement sweeps stop once the equilibrated constraint violation falls
 # below this (comfortably below the 1e-4 escalation tolerance, at the f32
-# noise floor); the sweep cap bounds the loop on infeasible systems.
+# noise floor). _DEFAULT_REFINE_SWEEPS is only the DEFAULT bound for the
+# routing wrappers (eqp_solve / batched_eqp_solve): a caller-passed
+# ``iters`` is honored exactly — the measured-convergence early exit means
+# a large bound costs nothing on healthy systems, while a user raising it
+# to fight conditioning genuinely gets more sweeps.
 _REFINE_TOL = 5e-7
-_MAX_REFINE_SWEEPS = 8
+_DEFAULT_REFINE_SWEEPS = 8
 
 
 def _factor_spd(M: jax.Array) -> jax.Array:
@@ -147,22 +151,34 @@ def _schur_tail(
     x = jnp.matmul(Z, lam, precision="highest")
     resid = Bn - jnp.matmul(An, x, precision="highest")
 
-    max_sweeps = max(0, min(iters, _MAX_REFINE_SWEEPS))
+    max_sweeps = max(0, iters)
+
+    def _done_mask(r):
+        # per-problem convergence, NaN-aware BOTH ways: a problem whose
+        # residual has gone non-finite counts as done (further sweeps
+        # cannot rescue it — escalation owns it), and it must not stall
+        # OR prolong refinement for healthy batch-mates. A batch-global
+        # `max(|r|) > tol` predicate is False when any entry is NaN,
+        # which would halt refinement for the whole batch.
+        finite = jnp.isfinite(r).all(axis=(1, 2))  # (b,)
+        small = jnp.max(jnp.abs(r), axis=(1, 2)) <= refine_tol
+        return small | ~finite
 
     def cond(carry):
         _, r, i = carry
-        return (i < max_sweeps) & (jnp.max(jnp.abs(r)) > refine_tol)
+        return (i < max_sweeps) & ~_done_mask(r).all()
 
     def body(carry):
         x, r, i = carry
-        # per-problem masking: a converged problem receives NO further
-        # updates even while its batch neighbors keep refining. This makes
-        # each problem's solution independent of batch composition (a
-        # single fit and the same fit inside a batch window run the same
-        # update sequence — the batch-vs-single parity tests rely on it),
-        # and matters numerically because post-convergence sweeps move the
-        # solution within the weakly-determined subspace by O(resid/s_min).
-        done = jnp.max(jnp.abs(r), axis=(1, 2)) <= refine_tol  # (b,)
+        # per-problem masking: a converged (or non-finite) problem receives
+        # NO further updates even while its batch neighbors keep refining.
+        # This makes each problem's solution independent of batch
+        # composition (a single fit and the same fit inside a batch window
+        # run the same update sequence — the batch-vs-single parity tests
+        # rely on it), and matters numerically because post-convergence
+        # sweeps move the solution within the weakly-determined subspace
+        # by O(resid/s_min).
+        done = _done_mask(r)  # (b,)
         dlam = solve_s(r)
         step = jnp.matmul(Z, dlam, precision="highest")
         x = jnp.where(done[:, None, None], x, x + step)
@@ -403,7 +419,7 @@ def eqp_solve(
     if _on_tpu():
         return eqp_solve_auglag(
             jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
-            delta=delta, iters=_MAX_REFINE_SWEEPS,
+            delta=delta, iters=_DEFAULT_REFINE_SWEEPS,
         )
     return _eqp_solve_lu(
         jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
@@ -428,7 +444,7 @@ def batched_eqp_solve(
     if _on_tpu():
         return batched_eqp_solve_auglag(
             jnp.asarray(P), jnp.asarray(A), jnp.asarray(B),
-            delta=delta, iters=_MAX_REFINE_SWEEPS,
+            delta=delta, iters=_DEFAULT_REFINE_SWEEPS,
         )
     return jax.vmap(
         lambda p, a, b: _eqp_solve_lu(

@@ -175,7 +175,7 @@ def staged_gauss_fused(
     """Run the fused staged-Gaussian pipeline; None if it does not apply.
 
     Applicability: device-resident trajectory, linear (or absent) premap
-    force map. Returns (pre_tmap, post_tmap, augmenter_key_used, remaining)
+    force map. Returns (pre_tmap, pmapped_tmap, remaining)
     with the same object structure the piecewise builders assemble, or None
     when the caller should take the legacy path (including when a solve
     misses ``resid_tol`` — the legacy path owns float64 escalation).

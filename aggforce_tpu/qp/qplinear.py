@@ -59,9 +59,10 @@ DEFAULT_SOLVER_OPTIONS: SolverOptions = {
 }
 
 # refinement defaults are per-backend (the host LU twin converges in a few
-# sweeps; the device direct solver's refinement loop is clamped internally
-# and wants the full budget), so they are NOT baked into the shared
-# defaults — an explicit user setting overrides both
+# sweeps; the device direct solver's while_loop early-exits on measured
+# convergence, so its bound is a worst-case budget honored exactly, not a
+# cost), so they are NOT baked into the shared defaults — an explicit user
+# setting overrides both
 HOST_REFINE_ITERS = 4
 DEVICE_REFINE_ITERS = 40
 

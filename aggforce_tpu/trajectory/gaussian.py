@@ -543,7 +543,7 @@ class JCondNormal(Augmenter):
         post = self.source_postmap(source_lgrad)
         if device_in:
             return (
-                jnp.asarray(post, dtype=self.dtype),
+                jnp.asarray(post, dtype=self._jdtype),
                 variate_lgrad.astype(self._jdtype),
             )
         return (
