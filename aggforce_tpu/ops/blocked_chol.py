@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cholesky_blocked", "cho_solve_blocked"]
+__all__ = [
+    "cholesky_blocked",
+    "cho_solve_blocked",
+    "tri_inv_blocked",
+    "spd_inv_from_chol",
+]
 
 _DEFAULT_BLOCK = 128  # MXU-native tile
 
@@ -154,3 +159,73 @@ def cho_solve_blocked(
     _, X = lax.fori_loop(0, k, bwd, (Y, jnp.zeros_like(Y)))
     X = X[:n]
     return X[:, 0] if squeeze else X
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def tri_inv_blocked(L: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
+    """Inverse of a lower-triangular L with GEMM-dominant latency.
+
+    The naive route — ``triangular_solve(L, I)`` — is row-sequential over
+    ALL n rows (TPU substitutions execute one row per step; at n~640 with a
+    panel-blocked solve that is ~2n sequential steps). Here only the k
+    DIAGONAL nb-blocks are inverted by substitution, and crucially all k of
+    them in ONE batched ``triangular_solve`` (nb sequential steps total,
+    not k*nb); the off-diagonal blocks follow by k-1 block-row GEMM
+    substitution sweeps:
+
+        X[i, :i] = -Dinv_i @ (L[i, :i] @ X[:i, :i])
+
+    Sequential depth ~ nb + k GEMMs instead of ~2n row steps — the
+    latency-bound piece of the shared-factor QP solver's explicit-inverse
+    construction. Identity-diagonal padding keeps non-multiple dimensions
+    exact (the padded block's inverse is I and decouples).
+    """
+    L_p, n = _pad_spd(L, nb)
+    n_pad = L_p.shape[-1]
+    k = n_pad // nb
+    # (k, nb, nb) diagonal blocks: reshape to (k, nb, k, nb) and take the
+    # block diagonal
+    blocks = L_p.reshape(k, nb, k, nb)
+    diag = jnp.moveaxis(jnp.diagonal(blocks, axis1=0, axis2=2), -1, 0)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=L.dtype), (k, nb, nb))
+    dinv = lax.linalg.triangular_solve(
+        diag, eye, left_side=True, lower=True
+    )  # (k, nb, nb), ONE batched substitution
+    # X starts as the block-diagonal inverse; block-row i then overwrites
+    # its strictly-left blocks using rows < i of X (already final)
+    X0 = jnp.zeros_like(L_p)
+
+    def place(i, X):
+        return lax.dynamic_update_slice(X, dinv[i], (i * nb, i * nb))
+
+    X0 = lax.fori_loop(0, k, place, X0)
+    cols = jnp.arange(n_pad)
+
+    def body(i, X):
+        c0 = i * nb
+        Lrow = lax.dynamic_slice(L_p, (c0, 0), (nb, n_pad))
+        Lrow = jnp.where((cols < c0)[None, :], Lrow, 0.0)
+        prod = jnp.matmul(Lrow, X, precision="highest")  # (nb, n_pad)
+        Di = lax.dynamic_slice(dinv, (i, 0, 0), (1, nb, nb))[0]
+        Xrow = -jnp.matmul(Di, prod, precision="highest")
+        # keep the diagonal block (Xrow is zero at and right of it)
+        Xrow = Xrow + lax.dynamic_update_slice(
+            jnp.zeros((nb, n_pad), dtype=L.dtype), Di, (0, c0)
+        )
+        return lax.dynamic_update_slice(X, Xrow, (c0, 0))
+
+    X = lax.fori_loop(1, k, body, X0)
+    return X[:n, :n]
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def spd_inv_from_chol(L: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
+    """(L L^T)^{-1} = L^{-T} L^{-1} via the blocked triangular inverse.
+
+    The explicit-inverse construction of the shared-factor QP solver
+    (`ops.eqp.batched_eqp_solve_shared`): one batched-diagonal substitution
+    plus GEMMs, instead of a 2n-row-sequential ``cho_solve`` against the
+    identity.
+    """
+    linv = tri_inv_blocked(L, nb=nb)
+    return jnp.matmul(linv.T, linv, precision="highest")

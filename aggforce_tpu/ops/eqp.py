@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
-from .blocked_chol import cho_solve_blocked, cholesky_blocked
+from .blocked_chol import cho_solve_blocked, cholesky_blocked, spd_inv_from_chol
 
 # Above this dimension the factorization/solve of the augmented operator
 # switches to the blocked (fori_loop) kernels: XLA's unrolled lowering of
@@ -71,6 +71,24 @@ def _solve_spd(chol: jax.Array, B: jax.Array) -> jax.Array:
     if chol.shape[-1] > _BLOCKED_N_THRESHOLD:
         return jax.vmap(cho_solve_blocked)(chol, B)
     return jax.vmap(lambda c, b: jsl.cho_solve((c, True), b))(chol, B)
+
+
+def _inv_spd(chol: jax.Array) -> jax.Array:
+    """Batched explicit (L L^T)^{-1} from (b, n, n) Cholesky factors.
+
+    Large factors take the GEMM-dominant blocked triangular inverse
+    (``spd_inv_from_chol``); small ones solve against the identity with the
+    (tiny, unrolled) cho_solve. Sequential depth is what matters on TPU —
+    substitutions execute one row per step — so the blocked path's
+    nb + k-GEMM depth replaces a 2n-row solve.
+    """
+    if chol.shape[-1] > _BLOCKED_N_THRESHOLD:
+        return jax.vmap(spd_inv_from_chol)(chol)
+    n = chol.shape[-1]
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=chol.dtype), chol.shape
+    )
+    return jax.vmap(lambda c, b: jsl.cho_solve((c, True), b))(chol, eye)
 
 
 def _lazy_shift_factor(
@@ -123,9 +141,21 @@ def _schur_tail(
     orthogonality systems), x = Z lambda, then refinement sweeps on the
     constraint residual that stop as soon as the whole batch is below
     ``refine_tol`` (measured convergence replaces the old fixed sweep
-    count — typically 1-2 sweeps instead of 8, each sweep costing two
-    batched triangular substitutions that are latency-bound on TPU).
-    Returns (x, per-problem max |An x - Bn|).
+    count — typically 1-2 sweeps).
+
+    The factored S~ is applied through its EXPLICIT inverse (computed once
+    per call): every subsequent application — the initial lambda and each
+    refinement sweep — is then a batched MXU GEMM instead of two
+    row-sequential triangular substitutions, which are latency-bound on
+    TPU (~one row per cycle group; at m~200 x 3 applications that was the
+    dominant sequential cost of the whole batched solve). The inverse is a
+    FIXED approximation of S~^{-1} with O(kappa*eps) error, so the
+    refinement iteration matrix is I - S X rather than the
+    backward-stable-solve version; the measured-convergence exit plus the
+    per-problem residual diagnostic (escalation to the float64 oracle)
+    bound the damage exactly as for the explicit per-site M^{-1} already
+    used by the shared-factor path. Returns (x, per-problem max
+    |An x - Bn|).
     """
     dtype = An.dtype
     m = An.shape[1]
@@ -138,14 +168,20 @@ def _schur_tail(
     s_scale = (
         jnp.trace(S, axis1=1, axis2=2) / m + jnp.asarray(1e-30, dtype)
     )  # (b,)
+    factor = (
+        _factor_spd
+        if m > _BLOCKED_N_THRESHOLD
+        else jax.vmap(lambda x: jsl.cho_factor(x, lower=True)[0])
+    )
     chol_s = _lazy_shift_factor(
         S,
         [s_scale * delta, s_scale * delta_fallback, s_scale * 3e-2],
-        factor=jax.vmap(lambda x: jsl.cho_factor(x, lower=True)[0]),
+        factor=factor,
     )
+    sinv = _inv_spd(chol_s)  # (b, m, m), one substitution for all sweeps
 
     def solve_s(r):
-        return jax.vmap(lambda c, b: jsl.cho_solve((c, True), b))(chol_s, r)
+        return jnp.matmul(sinv, r, precision="highest")
 
     lam = solve_s(Bn)
     x = jnp.matmul(Z, lam, precision="highest")
@@ -313,33 +349,49 @@ def batched_eqp_solve_shared(
 
     With ``return_resid=True`` also returns the (f, s) residual matrix.
     """
-    f, s = A.shape[0], A.shape[1]
-    m = A.shape[2]
-    dtype = P.dtype
-    n = P.shape[-1]
-    p_scale = (
-        jnp.trace(P, axis1=1, axis2=2) / n + jnp.asarray(1e-30, dtype)
-    )  # (s,)
-    Pn = P / p_scale[:, None, None]
-    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 1, 2))
-    chol_site = _lazy_shift_factor(Pn, [delta, delta_fallback])  # (s, n, n)
+    # one explicit inverse per site (GEMM-dominant blocked triangular
+    # inverse, shared by the whole window) and every problem's
+    # Z = M^{-1} A^T as a batched MXU GEMM — versus f x s triangular
+    # substitutions of m RHS each. Measured against the float64 oracle on
+    # the production featurized system, the explicit-inverse Z is
+    # numerically indistinguishable from the triangular-solve Z (the
+    # classic inverse-instability concern applies to ITERATING with an
+    # inverse; here it is applied once and the Schur refinement works
+    # against the exact An), and the residual diagnostic still guards
+    # escalation. Unconditional so a problem's numerics are independent of
+    # the window size (single fit == fit inside any batch).
+    minv = _site_factor_inv(P, delta, delta_fallback)
+    x, resid = _shared_schur_stage(
+        minv, A, B, delta, delta_fallback, iters
+    )
+    if return_resid:
+        return x, resid
+    return x
 
+
+def _shared_schur_stage(
+    minv: jax.Array,  # (s, n, n) explicit per-site inverses
+    A: jax.Array,  # (f, s, m, n)
+    B: jax.Array,  # (f, s, m, k)
+    delta: float,
+    delta_fallback: float,
+    iters: int,
+):
+    """Per-fit stage of the shared-factor solve: equilibrate, Z, Schur tail.
+
+    Factored out of :func:`batched_eqp_solve_shared` so the mesh variant
+    can run it on a fit-shard with the (all-gathered) site inverses. Each
+    problem's arithmetic is independent of the batch composition, so the
+    sharded and replicated runs agree per problem.
+    """
+    f, s = A.shape[0], A.shape[1]
+    m, n = A.shape[2], A.shape[3]
+    dtype = A.dtype
     row_norm = jnp.linalg.norm(A, axis=3, keepdims=True) + jnp.asarray(
         1e-30, dtype
     )
     An = (A / row_norm).reshape(f * s, m, n)
     Bn = (B / row_norm).reshape(f * s, B.shape[2], B.shape[3])
-    # one explicit inverse per site (n triangular RHS, shared by the whole
-    # window) and every problem's Z = M^{-1} A^T as a batched MXU GEMM —
-    # versus f x s triangular substitutions of m RHS each. Measured against
-    # the float64 oracle on the production featurized system, the
-    # explicit-inverse Z is numerically indistinguishable from the
-    # triangular-solve Z (the classic inverse-instability concern applies
-    # to ITERATING with an inverse; here it is applied once and the Schur
-    # refinement works against the exact An), and the residual diagnostic
-    # still guards escalation. Unconditional so a problem's numerics are
-    # independent of the window size (single fit == fit inside any batch).
-    minv = _solve_spd(chol_site, jnp.eye(n, dtype=dtype)[None].repeat(s, 0))
     minv_b = jnp.broadcast_to(minv[None], (f,) + minv.shape).reshape(
         f * s, n, n
     )
@@ -347,9 +399,93 @@ def batched_eqp_solve_shared(
     x, resid = _schur_tail(
         Z, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
     )
-    x = x.reshape(f, s, n, -1)
+    return x.reshape(f, s, n, -1), resid.reshape(f, s)
+
+
+def _site_factor_inv(P: jax.Array, delta, delta_fallback) -> jax.Array:
+    """Equilibrate + lazily-shifted Cholesky + explicit inverse per site."""
+    n = P.shape[-1]
+    dtype = P.dtype
+    p_scale = (
+        jnp.trace(P, axis1=1, axis2=2) / n + jnp.asarray(1e-30, dtype)
+    )
+    Pn = P / p_scale[:, None, None]
+    Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 1, 2))
+    chol_site = _lazy_shift_factor(Pn, [delta, delta_fallback])
+    return _inv_spd(chol_site)
+
+
+@partial(
+    jax.jit, static_argnames=("iters", "return_resid", "mesh", "axis")
+)
+def batched_eqp_solve_shared_mesh(
+    P: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    mesh,
+    axis: str = "frames",
+    delta: float = 1e-6,
+    delta_fallback: float = 3e-4,
+    iters: int = 10,
+    return_resid: bool = False,
+):
+    r"""Mesh-sharded :func:`batched_eqp_solve_shared`: the solve SCALES.
+
+    Two axes of parallelism ride the same 1-D mesh axis inside one
+    shard_map (SURVEY.md's "shard the cg-site axis for the per-site QPs"):
+
+      * the per-site factorization + explicit inverse — the window's fixed
+        cost — is sharded over SITES (padded to a device multiple with
+        identity problems) and an ``all_gather`` over the ICI replicates
+        the small (s, n, n) inverses to every device;
+      * the per-fit Schur stage — the dominant recurring cost — is
+        sharded over FITS: each device solves only its f/n_dev fits'
+        s problems.
+
+    Per-problem arithmetic is batch-composition independent (masked
+    refinement, per-problem shifts), so results match the replicated
+    solver per fit. Fit and site counts not divisible by the mesh size
+    are padded (repeated fits / identity sites) and the padding dropped
+    on exit.
+    """
+    n_dev = int(mesh.devices.size)
+    from jax.sharding import PartitionSpec as Pspec
+
+    f, s = A.shape[0], A.shape[1]
+    n = P.shape[-1]
+    dtype = P.dtype
+    pad_f = (-f) % n_dev
+    pad_s = (-s) % n_dev
+    if pad_f:
+        A = jnp.concatenate([A, jnp.repeat(A[-1:], pad_f, axis=0)], axis=0)
+        B = jnp.concatenate([B, jnp.repeat(B[-1:], pad_f, axis=0)], axis=0)
+    if pad_s:
+        eye_pad = jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype), (pad_s, n, n)
+        )
+        P_pad = jnp.concatenate([P, eye_pad], axis=0)
+    else:
+        P_pad = P
+
+    def local(P_loc, A_loc, B_loc):
+        minv_loc = _site_factor_inv(P_loc, delta, delta_fallback)
+        minv = jax.lax.all_gather(
+            minv_loc, axis, axis=0, tiled=True
+        )[:s]
+        return _shared_schur_stage(
+            minv, A_loc, B_loc, delta, delta_fallback, iters
+        )
+
+    x, resid = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Pspec(axis), Pspec(axis), Pspec(axis)),
+        out_specs=(Pspec(axis), Pspec(axis)),
+    )(P_pad, A, B)
+    x = x[:f]
+    resid = resid[:f]
     if return_resid:
-        return x, resid.reshape(f, s)
+        return x, resid
     return x
 
 

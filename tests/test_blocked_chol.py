@@ -77,3 +77,31 @@ def test_nonfinite_propagates():
     M = -jnp.eye(n, dtype=jnp.float32)
     L = cholesky_blocked(M)
     assert not bool(jnp.isfinite(L).all())
+
+
+@pytest.mark.parametrize("n", [8, 64, 128, 129, 300, 702])
+def test_tri_inv_blocked_matches_dense(n):
+    from aggforce_tpu.ops.blocked_chol import tri_inv_blocked
+
+    M = jnp.asarray(_spd(n, seed=n + 3))
+    L = np.linalg.cholesky(np.asarray(M, dtype=np.float64))
+    Linv = np.asarray(tri_inv_blocked(jnp.asarray(L, jnp.float32), nb=128))
+    ref = np.linalg.inv(L)
+    assert np.allclose(Linv, ref, atol=5e-4, rtol=1e-3)
+    # strictly upper triangle exactly zero
+    assert np.all(np.triu(Linv, k=1) == 0.0)
+
+
+@pytest.mark.parametrize("n", [64, 300, 702])
+def test_spd_inv_from_chol_matches_dense(n):
+    from aggforce_tpu.ops.blocked_chol import cholesky_blocked, spd_inv_from_chol
+
+    M = jnp.asarray(_spd(n, seed=n + 5))
+    L = cholesky_blocked(M, nb=128)
+    Minv = np.asarray(spd_inv_from_chol(L, nb=128))
+    ref = np.linalg.inv(np.asarray(M, dtype=np.float64))
+    # inverse entries are O(1) for these well-conditioned fixtures
+    assert np.allclose(Minv, ref, atol=5e-3, rtol=5e-3)
+    # reconstruction: M @ Minv ~ I
+    recon = np.asarray(M, dtype=np.float64) @ Minv
+    assert np.allclose(recon, np.eye(n), atol=5e-3)
