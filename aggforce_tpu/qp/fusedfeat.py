@@ -224,20 +224,40 @@ def _assemble_constraint_system(
     centers: jax.Array,
     spec: GBFeatSpec,
     dtype,
+    cmap_rows: Optional[jax.Array] = None,
+    site_sel: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-site constraint rows and targets shared by both fit paths."""
+    """Per-site constraint rows and targets shared by both fit paths.
+
+    The orthogonality system of ONE fitted site spans ALL CG sites (its
+    weight function must integrate to delta against every site's
+    configurational map), so the row axis is always the full ``cmap_mat``.
+    ``cmap_rows``/``site_sel`` restrict only WHICH sites are being fitted:
+    ``cmap_rows`` (Sb, N) selects the evaluation sites of a site block and
+    ``site_sel`` (Sb, S) is the one-hot of each block row's global site
+    index (the Kronecker target of its constraint system). The default is
+    the full map (Sb == S, site_sel == I).
+    """
+    rows_map = cmap_rows if cmap_rows is not None else cmap_mat
     cg_constr = jnp.einsum(
-        "sj,tjd->tsd", cmap_mat, constr_coords, precision="highest"
+        "sj,tjd->tsd", rows_map, constr_coords, precision="highest"
     )
     a_rows = _constraint_rows(
         constr_coords, cg_constr, cmap_mat, group_mean, onehot, counts,
         centers, spec,
-    )  # (S, tc*S, K_exp)
-    s_dim = cmap_mat.shape[0]
+    )  # (Sb, tc*S, K_exp)
+    s_all = cmap_mat.shape[0]
+    s_blk = rows_map.shape[0]
     tc = constr_coords.shape[0]
-    # b[s, (t, c)] = 1 when c == s
-    b = jnp.eye(s_dim, dtype=dtype)[:, None, :]
-    b = jnp.broadcast_to(b, (s_dim, tc, s_dim)).reshape(s_dim, tc * s_dim)
+    # b[s, (t, c)] = 1 when c == (global index of block row s)
+    sel = (
+        site_sel.astype(dtype)
+        if site_sel is not None
+        else jnp.eye(s_all, dtype=dtype)
+    )
+    b = jnp.broadcast_to(sel[:, None, :], (s_blk, tc, s_all)).reshape(
+        s_blk, tc * s_all
+    )
     return a_rows, b
 
 
@@ -778,6 +798,65 @@ def _fit_coefs_e2e(
 
 @partial(
     jax.jit,
+    static_argnames=("spec", "n_chunks", "t_pad", "solver_iters"),
+)
+def _fit_coefs_siteblock_e2e(
+    coords: jax.Array,  # (T, N, 3) — unpadded
+    forces: jax.Array,
+    frame_idx: jax.Array,  # (F,) constraint-frame indices
+    cmap_block: jax.Array,  # (Sb, N) rows of this site block
+    site_sel: jax.Array,  # (Sb, S) one-hot of global site indices
+    cmap_mat: jax.Array,  # (S, N) full map (constraint-row axis)
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    kbt: jax.Array,
+    l2_regularization: jax.Array,
+    spec: GBFeatSpec,
+    n_chunks: int,
+    t_pad: int,
+    solver_delta: jax.Array,
+    solver_iters: int,
+):
+    """One site block of the fused featurized fit, as ONE program.
+
+    The per-site QPs are independent (the whole-map Gram is block-diagonal
+    across sites), so fitting Sb sites at a time is EXACT — it bounds peak
+    HBM at ~3*Sb*K_exp^2 floats (block Gram + factor + explicit inverse)
+    instead of the full map's S*K_exp^2, which at solvated-system scale
+    (K_exp = G*(1+n_basis) ~ 18k for ~3k atoms) exceeds device memory as
+    one program. Every block reuses this executable: blocks are padded to
+    a common Sb so the trace is shape-stable.
+    """
+    t = coords.shape[0]
+    dtype = jnp.float32
+    constr_coords = coords[frame_idx].astype(dtype)
+    pad_spec = ((0, t_pad - t), (0, 0), (0, 0))
+    coords_p = jnp.pad(coords.astype(dtype), pad_spec)
+    forces_p = jnp.pad(forces.astype(dtype), pad_spec)
+    mask = (jnp.arange(t_pad) < t).astype(dtype)
+    k_exp = spec.n_basis * onehot.shape[1] + (
+        onehot.shape[1] if spec.include_id else 0
+    )
+    gram = _scan_gram(
+        coords_p, forces_p, mask, cmap_block, group_mean, onehot, counts,
+        centers, kbt, spec, n_chunks,
+    )
+    gram = gram + l2_regularization * jnp.eye(k_exp, dtype=dtype)
+    a_rows, b = _assemble_constraint_system(
+        constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
+        dtype, cmap_rows=cmap_block, site_sel=site_sel,
+    )
+    coefs, resids = batched_eqp_solve_shared(
+        gram, a_rows[None], b[None, ..., None], delta=solver_delta,
+        iters=solver_iters, return_resid=True,
+    )
+    return coefs[0, ..., 0], resids[0], gram, a_rows, b
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
     ),
@@ -881,10 +960,14 @@ def _fit_coefs_batch_mesh(
     t_block: int = 256,
 ):
     """Mesh twin of :func:`_fit_coefs_batch_e2e`: ONE frame-sharded Gram
-    pass (psum over ICI) shared by B fits, replicated assemblies + the
-    shared-factor solve. Constraint frames arrive as gathered coordinates
-    (replicated operand) rather than indices, so no cross-shard gather is
-    needed inside the program."""
+    pass (psum over ICI) shared by B fits, then the SHARDED shared-factor
+    solve — the per-site factorization+inverse splits over sites and the
+    per-fit Schur stage splits over fits, both on the same mesh axis
+    (``ops.eqp.batched_eqp_solve_shared_mesh``), so the window's dominant
+    device stage scales with chips instead of replicating. Constraint
+    frames arrive as gathered coordinates (replicated operand) rather
+    than indices, so no cross-shard gather is needed inside the
+    program."""
     dtype = coords_p.dtype
     if use_pallas:
         gram, _, _ = _pallas_mesh_fit_parts(
@@ -906,8 +989,10 @@ def _fit_coefs_batch_mesh(
         )
 
     rows_b, b_b = jax.vmap(per_fit_rows)(constr_coords_b)
-    coefs_b, resid_fs = batched_eqp_solve_shared(
-        gram, rows_b, b_b[..., None], delta=solver_delta,
+    from ..ops.eqp import batched_eqp_solve_shared_mesh
+
+    coefs_b, resid_fs = batched_eqp_solve_shared_mesh(
+        gram, rows_b, b_b[..., None], mesh=mesh, delta=solver_delta,
         iters=solver_iters, return_resid=True,
     )
     return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
@@ -1310,6 +1395,144 @@ def fused_gb_linear_map(
         coefs, solver_resid, gram, a_rows, b, coord_map, onehot, centers,
         kbt, spec, resid_tol,
     )
+
+
+def fused_gb_linear_map_blocked(
+    traj: Trajectory,
+    coord_map: LinearMap,
+    kbt: float,
+    spec: GBFeatSpec,
+    constraints: Optional[Constraints] = None,
+    n_constraint_frames: int = 20,
+    l2_regularization: float = 1e1,
+    chunk_size: int = 2048,
+    constraint_rng: Optional[np.random.Generator] = None,
+    solver_delta: float = 1e-6,
+    solver_iters: int = 40,
+    resid_tol: float = 1e-4,
+    site_block: int = 2,
+) -> CLAFTMap:
+    """Site-blocked featurized fit for solvated-system (sweep) scale.
+
+    The fused one-program fit materializes the full (S, K_exp, K_exp) Gram
+    stack; with K_exp = G*(1+n_basis) this is ~S*K_exp^2*4 bytes plus the
+    solver's factor and explicit inverse — at the BASELINE sweep geometry
+    (~3k atoms, G~2.2k groups, K_exp~18k) that is tens of GB and cannot
+    exist on one chip. Because the per-site QPs are independent, fitting
+    ``site_block`` sites per program bounds peak HBM at
+    ~3*site_block*K_exp^2 floats with NO approximation: each block's Gram,
+    constraint system, and solve are bit-identical to the slices the
+    unblocked program would produce (the solver's per-problem arithmetic
+    is batch-composition invariant). One executable is traced and reused
+    by every block (the last block is padded by repeating its final site
+    and the padding dropped).
+
+    Cost model (why blocking, not sharding, is the scale lever here): the
+    per-site Gram costs K_exp^2 * 3T MACs, so sweep-scale featurized fits
+    are FLOP-dominated; blocks stream through the chip back to back and
+    MXU utilization is identical to the unblocked program's.
+
+    Escalation granularity differs from the unblocked program, by design:
+    :func:`_package_fused_map` escalates EVERY site to the float64 oracle
+    when the map's max residual misses ``resid_tol``, while this path
+    escalates only the sites whose own solves missed — converged f32 sites
+    keep their (batch-composition-invariant) device results, and at sweep
+    scale re-solving all S K_exp-sized systems on the host for one bad
+    site would dominate the fit.
+    """
+    if constraints is None:
+        constraints = set()
+    setup = _prepare_fused_setup(
+        traj, coord_map, spec, constraints, chunk_size, None, False
+    )
+    onehot, group_mean, counts, centers = (
+        setup["onehot"], setup["group_mean"], setup["counts"],
+        setup["centers"],
+    )
+    t, n_chunks, t_pad = setup["t"], setup["n_chunks"], setup["t_pad"]
+
+    rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
+    n_constraint_frames = min(n_constraint_frames, t)
+    frame_idx = rng.choice(t, size=n_constraint_frames, replace=False)
+
+    dtype = jnp.float32
+    cmap_np = np.asarray(coord_map.standard_matrix, dtype=np.float32)
+    s_all = cmap_np.shape[0]
+    sb = max(1, min(site_block, s_all))
+    coords_dev = jnp.asarray(traj.coords)
+    forces_dev = jnp.asarray(traj.forces)
+    frame_idx_dev = jnp.asarray(frame_idx)
+    common = (
+        jnp.asarray(cmap_np, dtype=dtype),
+        jnp.asarray(group_mean, dtype=dtype),
+        jnp.asarray(onehot, dtype=dtype),
+        jnp.asarray(counts, dtype=dtype),
+        jnp.asarray(centers, dtype=dtype),
+        jnp.asarray(kbt, dtype=dtype),
+        jnp.asarray(l2_regularization, dtype=dtype),
+    )
+    coefs_blocks = []
+    resid_max = 0.0
+    for s0 in range(0, s_all, sb):
+        idx = np.arange(s0, min(s0 + sb, s_all))
+        # pad the final block by repeating its last site; dropped on exit
+        pad_idx = np.concatenate([idx, np.repeat(idx[-1:], sb - len(idx))])
+        sel = np.zeros((sb, s_all), dtype=np.float32)
+        sel[np.arange(sb), pad_idx] = 1.0
+        coefs_b, resid_b, gram_b, rows_b, b_b = _fit_coefs_siteblock_e2e(
+            coords_dev, forces_dev, frame_idx_dev,
+            jnp.asarray(cmap_np[pad_idx], dtype=dtype),
+            jnp.asarray(sel),
+            *common,
+            spec=spec, n_chunks=n_chunks, t_pad=t_pad,
+            solver_delta=jnp.asarray(solver_delta, dtype=dtype),
+            solver_iters=solver_iters,
+        )
+        coefs_np, resid_np = jax.device_get((coefs_b, resid_b))
+        coefs_np = np.array(coefs_np)[: len(idx)]
+        resid_np = np.array(resid_np)[: len(idx)]
+        bad = ~np.isfinite(coefs_np).all(axis=1) | ~(resid_np <= resid_tol)
+        if bad.any():  # NaN-aware
+            from ..ops.eqp import eqp_solve_host
+
+            gram_h, rows_h, b_h = jax.device_get((gram_b, rows_b, b_b))
+            for s_loc in np.nonzero(bad)[0]:
+                coefs_np[s_loc] = eqp_solve_host(
+                    np.asarray(gram_h[s_loc], dtype=np.float64),
+                    np.asarray(rows_h[s_loc], dtype=np.float64),
+                    np.asarray(b_h[s_loc], dtype=np.float64)[:, None],
+                )[:, 0].astype(np.float32)
+                rn = (
+                    np.linalg.norm(rows_h[s_loc], axis=1, keepdims=True)
+                    + 1e-300
+                )
+                resid_np[s_loc] = np.max(
+                    np.abs(
+                        b_h[s_loc] / rn[:, 0]
+                        - (rows_h[s_loc] / rn) @ coefs_np[s_loc]
+                    )
+                )
+        coefs_blocks.append(coefs_np)
+        resid_max = max(resid_max, float(resid_np.max()))
+    coefs_all = np.concatenate(coefs_blocks, axis=0)
+    if not np.all(np.isfinite(coefs_all)):
+        raise ValueError("Map optimization failed.")
+    force_map = FusedGBMap(
+        coefs=coefs_all,
+        cmap_mat=cmap_np,
+        onehot=onehot,
+        centers=centers,
+        kbt=kbt,
+        spec=spec,
+        tags={"coef_list": list(coefs_all), "solver_resid": resid_max},
+    )
+    from ..map import JLinearMap
+
+    if isinstance(coord_map, LinearMap) and not isinstance(
+        coord_map, JLinearMap
+    ):
+        coord_map = JLinearMap.from_linearmap(coord_map)
+    return CLAFTMap(coord_map=coord_map, force_map=force_map)
 
 
 def _package_fused_map(

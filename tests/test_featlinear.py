@@ -423,3 +423,64 @@ def test_fused_batch_escalation_path(waterdimer):
     _, f_b = batch[0].map_arrays(coords[:16], forces[:16])
     _, f_s = single.map_arrays(coords[:16], forces[:16])
     np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)
+
+
+def test_fused_blocked_matches_full(waterdimer):
+    """Site-blocked fit (sweep-scale HBM path) == unblocked fit exactly.
+
+    The per-site QPs are independent and the solver is batch-composition
+    invariant, so any site_block must reproduce the full program's
+    coefficients bit-for-bit on a well-conditioned problem (this config's
+    f32 solves converge: no escalation in either path). Escalation policy
+    DIFFERS by design — the full program escalates every site when the max
+    residual misses tol, the blocked path escalates per site — so the
+    escalation leg forces it for all blocks (resid_tol=-1) where both
+    paths end on the f64 oracle.
+    """
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map,
+        fused_gb_linear_map_blocked,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"].astype(np.float32)
+    forces = waterdimer["forces"].astype(np.float32)
+    traj = Trajectory(
+        coords=jnp.asarray(coords), forces=jnp.asarray(forces)
+    )
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    constraints = {
+        frozenset((0, 1)), frozenset((0, 2)), frozenset((1, 2)),
+        frozenset((3, 4)), frozenset((3, 5)), frozenset((4, 5)),
+    }
+    kw = dict(
+        kbt=0.6955215, spec=GBFeatSpec(outer=1.0, n_basis=5),
+        constraints=constraints, l2_regularization=10.0,
+        n_constraint_frames=8,
+    )
+    full = fused_gb_linear_map(
+        traj, cmap, constraint_rng=np.random.default_rng(0), **kw
+    )
+    _, f_full = full.map_arrays(coords[:24], forces[:24])
+    for site_block in (1, 2):
+        blocked = fused_gb_linear_map_blocked(
+            traj, cmap, constraint_rng=np.random.default_rng(0),
+            site_block=site_block, **kw
+        )
+        _, f_blk = blocked.map_arrays(coords[:24], forces[:24])
+        np.testing.assert_allclose(
+            np.asarray(f_blk), np.asarray(f_full), atol=1e-5
+        )
+    # escalation: impossible tolerance routes every block to the f64 oracle
+    esc = fused_gb_linear_map_blocked(
+        traj, cmap, constraint_rng=np.random.default_rng(0),
+        site_block=2, resid_tol=-1.0, **kw
+    )
+    assert esc.force_map.tags["solver_resid"] < 1e-6
+    _, f_esc = esc.map_arrays(coords[:24], forces[:24])
+    np.testing.assert_allclose(
+        np.asarray(f_esc), np.asarray(f_full), atol=1e-4
+    )

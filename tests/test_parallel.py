@@ -290,3 +290,81 @@ def test_batch_fit_over_mesh_matches_single_device(
         np.testing.assert_allclose(
             np.asarray(fm), np.asarray(fo), atol=2e-3 * scale
         )
+
+
+def test_shared_solve_mesh_matches_replicated():
+    """Sharded shared-factor solve == replicated solver, per problem.
+
+    Covers both partitions riding the mesh axis: sites (10, non-multiple
+    of 8 -> identity padding) for the factorization and fits (5,
+    non-multiple -> repeat padding) for the Schur stage.
+    """
+    import jax.numpy as jnp
+
+    from aggforce_tpu.ops.eqp import (
+        batched_eqp_solve_shared,
+        batched_eqp_solve_shared_mesh,
+    )
+
+    rng = np.random.default_rng(11)
+    f, s, m, n = 5, 10, 13, 40
+    A_ = rng.normal(size=(s, n, n)).astype(np.float32)
+    P = jnp.asarray(
+        A_ @ A_.transpose(0, 2, 1) / n + 0.5 * np.eye(n, dtype=np.float32)
+    )
+    A = jnp.asarray(rng.normal(size=(f, s, m, n)).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(f, s, m, 1)).astype(np.float32))
+    x_ref, r_ref = batched_eqp_solve_shared(
+        P, A, B, iters=40, return_resid=True
+    )
+    x_mesh, r_mesh = batched_eqp_solve_shared_mesh(
+        P, A, B, mesh=make_mesh(), iters=40, return_resid=True
+    )
+    assert x_mesh.shape == x_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(x_mesh), np.asarray(x_ref), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mesh), np.asarray(r_ref), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_batch_mesh_fit_uses_sharded_solve(waterdimer):
+    """Batched mesh fits match single-device batched fits seed for seed."""
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords, forces = waterdimer["coords"], waterdimer["forces"]
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    constraints = {
+        frozenset((0, 1)), frozenset((0, 2)), frozenset((1, 2)),
+        frozenset((3, 4)), frozenset((3, 5)), frozenset((4, 5)),
+    }
+    traj = Trajectory(
+        coords=jnp.asarray(coords, jnp.float32),
+        forces=jnp.asarray(forces, jnp.float32),
+    )
+    spec = GBFeatSpec(outer=1.0, n_basis=5)
+    common = dict(
+        kbt=0.6955215, spec=spec, constraints=constraints,
+        l2_regularization=10.0, n_constraint_frames=8,
+    )
+    plain = fused_gb_linear_map_batch(traj, cmap, seeds=range(5), **common)
+    meshed = fused_gb_linear_map_batch(
+        traj, cmap, seeds=range(5), mesh=make_mesh(), **common
+    )
+    # coefs live in a weakly-determined basis where f32 Gram
+    # reduction-order differences (mesh psum vs serial scan) swing them;
+    # the physical output — mapped forces — is the stable comparison
+    for a, b in zip(plain, meshed):
+        _, fa = a.map_arrays(coords[:32], forces[:32])
+        _, fb = b.map_arrays(coords[:32], forces[:32])
+        scale = np.abs(np.asarray(fa)).max()
+        np.testing.assert_allclose(
+            np.asarray(fb), np.asarray(fa), atol=2e-3 * scale
+        )
