@@ -88,6 +88,7 @@ def _try_staged_fused(
     premap_solver_args,
     kwargs,
     zero_stage2: bool,
+    mesh=None,
 ):
     """Dispatch to the one-program staged pipeline when it applies.
 
@@ -133,6 +134,7 @@ def _try_staged_fused(
         resid_tol=min(
             pre_opts.get("resid_tol", 1e-4), post_opts.get("resid_tol", 1e-4)
         ),
+        mesh=mesh,
     )
     if fused is None:
         return None
@@ -164,6 +166,7 @@ def stagedjoptgauss_map(
     seed: Optional[int] = None,
     premap_l2_regularization: float = 0.0,
     premap_solver_args: Optional[SolverOptions] = None,
+    mesh=None,
     **kwargs,
 ) -> ComposedTMap:
     """Two-stage Gaussian map: deterministic premap, then noising map.
@@ -176,14 +179,17 @@ def stagedjoptgauss_map(
     Device-resident trajectories take the fused one-dispatch pipeline
     (:mod:`aggforce_tpu.qp.jgauss_fused`): both QP fits, the noise draw,
     and the real-block premapping run as ONE program with one host sync,
-    instead of ~6 dispatches and two blocking fetches.
+    instead of ~6 dispatches and two blocking fetches. With ``mesh``
+    (1-D, axis "frames") the fused program's trajectory operands are
+    frame-sharded over the devices (GSPMD partitions the pipeline); the
+    piecewise fallback shards its premap Gram the same way.
     """
     if premap_solver_args is None:
         premap_solver_args = DEFAULT_SOLVER_OPTIONS
     fused = _try_staged_fused(
         traj, coord_map, var, kbt, force_map, constraints, seed,
         premap_l2_regularization, premap_solver_args, kwargs,
-        zero_stage2=False,
+        zero_stage2=False, mesh=mesh,
     )
     if fused is not None:
         pre_tmap, post_tmap, _ = fused
@@ -195,6 +201,7 @@ def stagedjoptgauss_map(
             constraints=constraints,
             l2_regularization=premap_l2_regularization,
             solver_args=premap_solver_args,
+            mesh=mesh,
         )
     else:
         pre_tmap = SeperableTMap(coord_map=coord_map, force_map=force_map)

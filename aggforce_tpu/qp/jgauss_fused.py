@@ -171,6 +171,7 @@ def staged_gauss_fused(
     l2_regularization: float = 0.0,
     zero_stage2: bool = False,
     resid_tol: float = 1e-4,
+    mesh=None,
 ):
     """Run the fused staged-Gaussian pipeline; None if it does not apply.
 
@@ -179,6 +180,12 @@ def staged_gauss_fused(
     with the same object structure the piecewise builders assemble, or None
     when the caller should take the legacy path (including when a solve
     misses ``resid_tol`` — the legacy path owns float64 escalation).
+
+    With ``mesh`` (1-D, axis "frames") the trajectory operands are
+    frame-sharded over the devices and GSPMD partitions the one-program
+    pipeline (XLA inserts the Gram all-reduces). Partitioning is
+    value-semantic, so the noise draw stays draw-for-draw identical to the
+    unsharded program — only f32 reduction order can differ.
     """
     import jax.random as jrandom
 
@@ -212,9 +219,18 @@ def staged_gauss_fused(
         if force_map is not None
         else None
     )
+    coords_dev = jnp.asarray(traj.coords, dtype)
+    forces_dev = jnp.asarray(traj.forces, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        sharding = NamedSharding(mesh, P(axis))
+        coords_dev = jax.device_put(coords_dev, sharding)
+        forces_dev = jax.device_put(forces_dev, sharding)
     fmap1, resid1, fmap2, resid2, remaining = _staged_gauss_program(
-        jnp.asarray(traj.coords, dtype),
-        jnp.asarray(traj.forces, dtype),
+        coords_dev,
+        forces_dev,
         subkey,
         cmap_dev,
         jnp.asarray(labels_np),
