@@ -87,21 +87,29 @@ class WarmupHandle:
 def _synth_device_traj(n_frames: int, n_sites: int, seed: int):
     """Throwaway device trajectory with the requested shapes (values unused).
 
-    Built with the device PRNG — generating 10k x N x 3 operands on device
-    costs milliseconds, versus seconds for host synthesis + H2D staging.
-    Coordinates are scaled so featurization produces well-conditioned
-    (finite, non-degenerate) Grams and the warm-up fit does not detour into
-    the float64 escalation path.
+    Built with HOST numpy RNG and a plain ``device_put``: the earlier
+    device-PRNG version dispatched two extra jitted programs
+    (threefry + normal), and on remote-attached devices the FIRST
+    execution of every executable pays a program-load through the tunnel
+    (measured: seconds to minutes in degraded windows — dwarfing the
+    milliseconds the device RNG saves on generation). Host generation of
+    ~10M draws costs ~0.1 s and the transfer rides the same channel the
+    production staging uses. Coordinates are scaled so featurization
+    produces well-conditioned (finite, non-degenerate) Grams and the
+    warm-up fit does not detour into the float64 escalation path.
     """
-    import jax.numpy as jnp
-    import jax.random as jrandom
+    import jax
 
     from ..trajectory import Trajectory
 
-    kc, kf = jrandom.split(jrandom.PRNGKey(seed))
-    coords = 2.0 * jrandom.normal(kc, (n_frames, n_sites, 3), dtype=jnp.float32)
-    forces = jrandom.normal(kf, (n_frames, n_sites, 3), dtype=jnp.float32)
-    return Trajectory(coords=coords, forces=forces)
+    rng = np.random.default_rng(seed)
+    coords = 2.0 * rng.standard_normal(
+        (n_frames, n_sites, 3), dtype=np.float32
+    )
+    forces = rng.standard_normal((n_frames, n_sites, 3), dtype=np.float32)
+    return Trajectory(
+        coords=jax.device_put(coords), forces=jax.device_put(forces)
+    )
 
 
 def warm_featurized_fit(

@@ -79,21 +79,33 @@ def _cached_synth(pdb: str, n_frames: int, seed: int):
     from aggforce_tpu.utils.synth import synthesize_protein_fixture
 
     key = hashlib.sha1(
-        f"{pdb}:{os.path.getmtime(pdb)}:{n_frames}:{seed}:v1".encode()
+        f"{pdb}:{os.path.getmtime(pdb)}:{n_frames}:{seed}:v2".encode()
     ).hexdigest()[:16]
     cache_dir = os.environ.get(
         "AGGFORCE_BENCH_CACHE", "/tmp/aggforce_bench_cache"
     )
-    path = os.path.join(cache_dir, f"fix_{key}.npz")
-    if os.path.exists(path):
-        data = np.load(path)
-        return {"coords": data["coords"], "forces": data["forces"]}, "disk"
+    # float16 memmaps: the "load" is an mmap (milliseconds — the old
+    # monolithic npz read cost ~7 s cold), pages fault in lazily DURING
+    # chunked staging (overlapping disk IO with the H2D transfer), and
+    # float16 on disk matches the default float16 staging wire so no
+    # precision is lost relative to what crosses the tunnel anyway.
+    c_path = os.path.join(cache_dir, f"fix_{key}_coords.npy")
+    f_path = os.path.join(cache_dir, f"fix_{key}_forces.npy")
+    if os.path.exists(c_path) and os.path.exists(f_path):
+        return {
+            "coords": np.load(c_path, mmap_mode="r"),
+            "forces": np.load(f_path, mmap_mode="r"),
+        }, "disk"
     fix = synthesize_protein_fixture(pdb, n_frames=n_frames, seed=seed)
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = os.path.join(cache_dir, f"tmp_{os.getpid()}_{key}.npz")
-    np.savez(tmp, coords=fix["coords"], forces=fix["forces"])
-    os.replace(tmp, path)
-    return {"coords": fix["coords"], "forces": fix["forces"]}, "synthesized"
+    for path, arr in ((c_path, fix["coords"]), (f_path, fix["forces"])):
+        tmp = os.path.join(cache_dir, f"tmp_{os.getpid()}_{os.path.basename(path)}")
+        np.save(tmp, np.asarray(arr, dtype=np.float16))
+        os.replace(tmp, path)
+    return {
+        "coords": np.load(c_path, mmap_mode="r"),
+        "forces": np.load(f_path, mmap_mode="r"),
+    }, "synthesized"
 
 
 def build_fixture(n_frames: int, warm=None):
