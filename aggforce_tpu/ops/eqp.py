@@ -46,6 +46,13 @@ from .blocked_chol import cho_solve_blocked, cholesky_blocked, spd_inv_from_chol
 # cholesky/triangular_solve serializes to ~10 MB of device code at n~700,
 # which a fresh process pays seconds to compile or load through the remote
 # compile service. Small problems keep the unrolled path (faster, tiny).
+# 256 is measured, not guessed: routing the production Schur systems
+# (m ~ 200) through the blocked kernels instead made the solve SLOWER
+# (whole shared solve 1.45 vs 1.14 ms/fit on v5e) and the serialized
+# executable LARGER (7.18 vs 6.56 MB) — at one-to-two panels the blocked
+# path's dynamic-slice loops cost more than the unrolled substitutions
+# they replace. The crossover sits between 256 and the n~700 regime
+# where unrolling serializes to ~10 MB of device code.
 _BLOCKED_N_THRESHOLD = 256
 
 # Refinement sweeps stop once the equilibrated constraint violation falls

@@ -45,12 +45,19 @@ __all__ = [
 
 
 class WarmupHandle:
-    """Join handle for a background warm-up; records timing and errors."""
+    """Join handle for a background warm-up; records timing and errors.
+
+    ``phases`` maps phase name -> seconds when the warm-up target reports
+    them (the featurized warmer records ``synth`` and ``fit``), letting
+    callers attribute a slow warm-up to operand construction vs program
+    preparation without re-running instrumented probes.
+    """
 
     def __init__(self, target, label: str) -> None:
         self.label = label
         self.started_at = time.perf_counter()
         self.elapsed: Optional[float] = None
+        self.phases: dict = {}
         self.error: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._run, args=(target,), daemon=True, name=f"warmup-{label}"
@@ -58,8 +65,13 @@ class WarmupHandle:
         self._thread.start()
 
     def _run(self, target) -> None:
+        import inspect
+
         try:
-            target()
+            if inspect.signature(target).parameters:
+                target(self.phases)
+            else:
+                target()
         except BaseException as e:  # noqa: BLE001 — report, never crash the app
             self.error = e
         finally:
@@ -87,29 +99,30 @@ class WarmupHandle:
 def _synth_device_traj(n_frames: int, n_sites: int, seed: int):
     """Throwaway device trajectory with the requested shapes (values unused).
 
-    Built with HOST numpy RNG and a plain ``device_put``: the earlier
-    device-PRNG version dispatched two extra jitted programs
-    (threefry + normal), and on remote-attached devices the FIRST
-    execution of every executable pays a program-load through the tunnel
-    (measured: seconds to minutes in degraded windows — dwarfing the
-    milliseconds the device RNG saves on generation). Host generation of
-    ~10M draws costs ~0.1 s and the transfer rides the same channel the
-    production staging uses. Coordinates are scaled so featurization
-    produces well-conditioned (finite, non-degenerate) Grams and the
-    warm-up fit does not detour into the float64 escalation path.
+    ZERO-filled, built on device: the only traffic to the remote device is
+    one tiny (already-cached) broadcast program, reused for both arrays.
+    The alternatives both lose on remote-attached devices, where every
+    byte and every first-executed program crosses the tunnel: host numpy +
+    ``device_put`` moves ~42 MB of f32 operands over the raw (unchunked,
+    no-retry) path — measured 195 s in a degraded-tunnel window vs ~0.5 s
+    healthy — and the device PRNG (threefry split + normal) adds two
+    first-execution program loads of its own (measured: seconds each in
+    ordinary windows). Zeros are numerically safe for every warmed fit:
+    distances hit the max(d, 1e-30) guard, the features stay finite, the
+    Gram degenerates to the (perfectly conditioned) l2 ridge, and the
+    solve returns finite coefficients; warm-up callers pass
+    ``resid_tol=inf`` so the (unconverged, meaningless) residual never
+    detours into escalation. ``seed`` is accepted for signature stability
+    and unused.
     """
-    import jax
+    import jax.numpy as jnp
 
     from ..trajectory import Trajectory
 
-    rng = np.random.default_rng(seed)
-    coords = 2.0 * rng.standard_normal(
-        (n_frames, n_sites, 3), dtype=np.float32
-    )
-    forces = rng.standard_normal((n_frames, n_sites, 3), dtype=np.float32)
-    return Trajectory(
-        coords=jax.device_put(coords), forces=jax.device_put(forces)
-    )
+    del seed  # values are irrelevant to program preparation
+    coords = jnp.zeros((n_frames, n_sites, 3), dtype=jnp.float32)
+    forces = jnp.zeros((n_frames, n_sites, 3), dtype=jnp.float32)
+    return Trajectory(coords=coords, forces=forces)
 
 
 def warm_featurized_fit(
@@ -134,10 +147,13 @@ def warm_featurized_fit(
     synthetic trajectory of matching shape compiles the identical program.
     """
 
-    def work() -> None:
+    def work(phases: dict) -> None:
         from ..qp.fusedfeat import fused_gb_linear_map
 
+        t0 = time.perf_counter()
         traj = _synth_device_traj(n_frames, coord_map.n_fg_sites, seed=0)
+        phases["synth"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         fused_gb_linear_map(
             traj,
             coord_map,
@@ -155,6 +171,9 @@ def warm_featurized_fit(
             mesh=mesh,
             use_pallas=use_pallas,
         )
+        # trace+lower+compile-or-cache-load RPC+device program load+run,
+        # end to end — the program-preparation cost a fresh process pays
+        phases["fit"] = time.perf_counter() - t0
 
     return WarmupHandle(work, "featurized-fit")
 

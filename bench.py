@@ -42,6 +42,51 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# cumulative wall seconds inside the compile/persistent-cache RPCs
+# (compile_or_get_cached covers both a miss's remote compile and a hit's
+# executable upload to the remote compile service). Lets the emitted JSON
+# attribute warm-up time to the remote channel vs host-side work.
+_RPC_S = [0.0]
+
+
+def _meter_compile_rpcs() -> None:
+    import jax._src.compiler as comp
+
+    orig = comp.compile_or_get_cached
+
+    def traced(*a, **k):
+        t0 = time.perf_counter()
+        out = orig(*a, **k)
+        _RPC_S[0] += time.perf_counter() - t0
+        return out
+
+    comp.compile_or_get_cached = traced
+
+
+def _trace_cache_accesses() -> None:
+    """AGGFORCE_TRACE_CACHE=<path>: append every persistent-cache key this
+    process touches (hit or miss) to <path>, one `key hit|miss` per line.
+
+    Lets `tools/prune_cache.py` prune `.jax_cache` to the union of keys the
+    bench modes actually load — stale generations otherwise accumulate
+    every time a jitted program's code changes (each is multi-MB).
+    """
+    path = os.environ.get("AGGFORCE_TRACE_CACHE")
+    if not path:
+        return
+    import jax._src.compilation_cache as cc
+
+    orig = cc.get_executable_and_time
+
+    def traced(cache_key, *a, **k):
+        out = orig(cache_key, *a, **k)
+        with open(path, "a") as fh:
+            fh.write(f"{cache_key} {'hit' if out[0] is not None else 'miss'}\n")
+        return out
+
+    cc.get_executable_and_time = traced
+
+
 def _enable_compile_cache() -> None:
     """Persist compiled executables across bench processes when supported.
 
@@ -172,8 +217,12 @@ def run_sweep() -> None:
     ``BENCH_SWEEP_STREAMED=1`` routes the fit through the streamed mesh
     path instead (chunks round-robined over every available device with a
     psum-merged Gram — the multi-host composition, exercised on however
-    many chips the process sees).
+    many chips the process sees). ``BENCH_SWEEP_FEAT=1`` runs the
+    FEATURIZED map at solvated-system scale through the site-blocked
+    fused path instead (see run_sweep_featurized).
     """
+    if os.environ.get("BENCH_SWEEP_FEAT", "0") == "1":
+        return run_sweep_featurized()
     import jax
 
     from aggforce_tpu import LinearMap, guess_pairwise_constraints
@@ -248,6 +297,101 @@ def run_sweep() -> None:
     )
 
 
+def run_sweep_featurized() -> None:
+    """Featurized (config-dependent) map at solvated-system scale.
+
+    The reference's featurized path never ran beyond peptide scale; this
+    measures the fused id+gb featurized fit at sweep geometry, where
+    K_exp = G*(1+n_basis) makes the full (S, K_exp, K_exp) Gram stack
+    exceed HBM — the site-blocked path
+    (:func:`aggforce_tpu.qp.fusedfeat.fused_gb_linear_map_blocked`) bounds
+    peak memory at ~3*site_block*K_exp^2 floats with no approximation.
+    Defaults (1,500 atoms -> G=1,125 groups, K_exp=9,000, S~64 sites,
+    20k frames) put the full stack at ~21 GB (> one v5e's 16 GB HBM);
+    fits are FLOP-dominated (~S*K_exp^2*3T MACs), so expect tens of
+    seconds per fit, not the linear map's sub-second.
+    """
+    import jax
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map_blocked,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+    from aggforce_tpu.utils.synth import synthesize_trajectory_device
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "20000"))
+    n_atoms = int(os.environ.get("BENCH_ATOMS", "1500"))
+    n_basis = int(os.environ.get("BENCH_SWEEP_NBASIS", "7"))
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+    rng = np.random.default_rng(0)
+    base = rng.normal(scale=1.5, size=(n_atoms, 3))
+    groups = [frozenset((i, i + 1)) for i in range(0, n_atoms // 2, 2)]
+    t0 = time.perf_counter()
+    coords, forces = synthesize_trajectory_device(
+        base, groups, n_frames, seed=1, motion_scale=0.02
+    )
+    jax.block_until_ready((coords, forces))
+    log(f"device fixture synthesis: {time.perf_counter() - t0:.3f}s")
+    cmap = LinearMap(
+        [[i] for i in range(0, n_atoms, max(1, n_atoms // 64))],
+        n_fg_sites=n_atoms,
+    )
+    n_groups = len(groups) + (n_atoms - sum(len(g) for g in groups))
+    k_exp = n_groups * (1 + n_basis)
+    s_sites = cmap.n_cg_sites
+    stack_gb = s_sites * k_exp**2 * 4 / 1e9
+    budget_gb = float(os.environ.get("AGGFORCE_GRAM_HBM_GB", "4.0"))
+    site_block = int(
+        os.environ.get(
+            "BENCH_SITE_BLOCK",
+            str(max(1, int(budget_gb * 1e9 / (3 * k_exp**2 * 4)))),
+        )
+    )
+    log(
+        f"sweep-feat geometry: {n_frames}x{n_atoms}, G={n_groups}, "
+        f"K_exp={k_exp}, S={s_sites}, full Gram stack {stack_gb:.1f} GB "
+        f"-> site_block={site_block}"
+    )
+    traj = Trajectory(coords=coords, forces=forces)
+
+    def fit():
+        t0 = time.perf_counter()
+        tmap = fused_gb_linear_map_blocked(
+            traj, cmap, kbt=0.7,
+            spec=GBFeatSpec(outer=8.0, inner=0.0, n_basis=n_basis, width=1.0),
+            constraints=set(groups), l2_regularization=1e3,
+            n_constraint_frames=20,
+            constraint_rng=np.random.default_rng(3),
+            chunk_size=256, site_block=site_block,
+        )
+        return tmap, time.perf_counter() - t0
+
+    tmap, first = fit()
+    log(f"first site-blocked featurized fit (incl. compile): {first:.3f}s")
+    tmap, elapsed = fit()
+    resid = tmap.force_map.tags["solver_resid"]
+    mc, mf = tmap.map_arrays(coords[:8], forces[:8])
+    assert np.all(np.isfinite(np.asarray(mf)))
+    value = n_frames / elapsed
+    log(
+        f"sweep featurized fit: {elapsed:.3f}s -> {value:.1f} "
+        f"frames/s/chip (resid {resid:.2e})"
+    )
+    _emit(
+        "sweep_featurized_fit_frames_per_sec_per_chip",
+        value,
+        extra={
+            "k_exp": k_exp,
+            "site_block": site_block,
+            "gram_stack_gb": round(stack_gb, 1),
+            "fit_seconds": round(elapsed, 2),
+        },
+    )
+
+
 def _staged_device_traj(fix):
     """Stage the fixture into HBM via the resilient chunked staging path.
 
@@ -289,6 +433,30 @@ def _join_warmup(fix) -> float:
         f"({wait:.3f}s blocking wait after data staging; {status})"
     )
     return wait
+
+
+def _prep_attribution(fix) -> dict:
+    """Attribute program-preparation time for the emitted JSON.
+
+    ``prep_rpc_s`` is the cumulative wall time inside the compile /
+    persistent-cache RPCs (remote compiles on a miss, executable uploads
+    to the compile service on a hit); ``warmup_synth_s``/``warmup_fit_s``
+    split the background warm-up into operand construction vs the
+    end-to-end program preparation of the fit executable.
+    ``prep_degraded`` flags warm-up wall time far beyond the healthy-window
+    envelope — the compile channel's analogue of staging's
+    ``tunnel_degraded`` (the two channels degrade independently; measured
+    15 s vs 135 s for identical warm-cache runs minutes apart).
+    """
+    out = {"prep_rpc_s": round(_RPC_S[0], 3)}
+    handle = fix.get("warmup_handle")
+    if handle is not None and handle.phases:
+        for name, seconds in handle.phases.items():
+            out[f"warmup_{name}_s"] = round(seconds, 3)
+        fit_s = handle.phases.get("fit")
+        if fit_s is not None:
+            out["prep_degraded"] = bool(fit_s > 30.0)
+    return out
 
 
 def _emit(metric: str, value: float, extra=None) -> None:
@@ -613,6 +781,7 @@ def run_featurized() -> None:
             ),
             **staging_extra,
             "warmup_wait_s": round(warmup_wait_s, 3),
+            **_prep_attribution(fix),
             "tflops": round(tflops, 2),
             **({"mfu": round(mfu, 4)} if mfu is not None else {}),
             **(
@@ -628,6 +797,8 @@ def run_featurized() -> None:
 
 def main() -> None:
     _enable_compile_cache()
+    _meter_compile_rpcs()
+    _trace_cache_accesses()
     mode = os.environ.get("BENCH_MODE", "").lower()
     runners = {
         "": run_featurized,
