@@ -389,7 +389,13 @@ def _pallas_mesh_fit_parts(
         mesh=mesh,
         in_specs=(P("frames"), P("frames"), P("frames")),
         out_specs=P(),
-        # pallas_call outputs do not carry varying-mesh-axis metadata yet
+        # pallas_call outputs do not carry varying-mesh-axis metadata yet,
+        # so shard_map's varying-axis checking must be bypassed for this
+        # program. The safety net it would provide (catching a missing
+        # psum) is pinned instead by
+        # tests/test_parallel.py::test_sharded_pallas_feat_fit_matches_single_device,
+        # which runs this exact path at 8 shards against the single-device
+        # result. Re-enable once Mosaic propagates vma metadata.
         check_vma=False,
     )(coords, forces, mask)
     g = group_mean.shape[0]
@@ -564,18 +570,38 @@ class FusedGBMap(CLAMap):
         kbt: float,
         spec: GBFeatSpec,
         tags=None,
+        device_consts: Optional[tuple] = None,
     ) -> None:
-        """Store fit artifacts (group structure derives from the one-hot)."""
+        """Store fit artifacts (group structure derives from the one-hot).
+
+        ``device_consts`` — (cmap_mat, onehot, counts, group_mean, centers)
+        as device arrays — lets a batch of maps over the same system share
+        ONE set of host->device transfers: without it every map's
+        construction issues ~7 small device_puts, and on remote-attached
+        devices those RPCs (not the solve) dominate the per-fit cost of a
+        batched window (measured ~7-13 ms/fit of pure packaging).
+        ``coefs`` may be a device array (e.g. a slice of the batch
+        program's output), which skips its re-upload too.
+        """
         self._coefs = jnp.asarray(coefs)
-        self._cmap_mat = jnp.asarray(cmap_mat)
-        self._onehot = jnp.asarray(onehot)
-        counts = np.asarray(onehot).sum(axis=0)
-        self._counts = jnp.asarray(counts, dtype=self._coefs.dtype)
-        self._group_mean = jnp.asarray(
-            (np.asarray(onehot) / np.maximum(counts, 1.0)).T,
-            dtype=self._coefs.dtype,
-        )
-        self._centers = jnp.asarray(centers)
+        if device_consts is not None:
+            (
+                self._cmap_mat,
+                self._onehot,
+                self._counts,
+                self._group_mean,
+                self._centers,
+            ) = device_consts
+        else:
+            self._cmap_mat = jnp.asarray(cmap_mat)
+            self._onehot = jnp.asarray(onehot)
+            counts = np.asarray(onehot).sum(axis=0)
+            self._counts = jnp.asarray(counts, dtype=self._coefs.dtype)
+            self._group_mean = jnp.asarray(
+                (np.asarray(onehot) / np.maximum(counts, 1.0)).T,
+                dtype=self._coefs.dtype,
+            )
+            self._centers = jnp.asarray(centers)
         self._kbt = jnp.asarray(kbt, dtype=self._coefs.dtype)
         self._spec = spec
 
@@ -615,6 +641,24 @@ class FusedGBMap(CLAMap):
             n_cg_sites=cmap_mat.shape[0],
             zeroes_check=False,
             tags=tags,
+        )
+
+    @staticmethod
+    def make_device_consts(
+        cmap_mat: np.ndarray, onehot: np.ndarray, centers: np.ndarray
+    ) -> tuple:
+        """One set of device-resident construction constants, shareable by
+        every map fitted over the same system (see ``device_consts``)."""
+        dtype = jnp.float32
+        counts = np.asarray(onehot).sum(axis=0)
+        return (
+            jnp.asarray(cmap_mat, dtype=dtype),
+            jnp.asarray(onehot, dtype=dtype),
+            jnp.asarray(counts, dtype=dtype),
+            jnp.asarray(
+                (np.asarray(onehot) / np.maximum(counts, 1.0)).T, dtype=dtype
+            ),
+            jnp.asarray(centers, dtype=dtype),
         )
 
     def __call__(self, points, copoints):
@@ -1158,6 +1202,22 @@ def fused_gb_linear_map_batch(
     )
     maps = []
     window = max(1, int(flush_every))
+    # one set of map-construction device constants and ONE JLinearMap
+    # conversion shared by every packaged map: per-map device_puts are
+    # small RPCs whose latency dominated batched per-fit cost (~7-13
+    # ms/fit measured through the remote-attach tunnel)
+    from ..map import JLinearMap
+
+    cmap_np = np.asarray(coord_map.standard_matrix, dtype=np.float32)
+    device_consts = FusedGBMap.make_device_consts(
+        cmap_np, setup["onehot"], setup["centers"]
+    )
+    package_coord_map = (
+        JLinearMap.from_linearmap(coord_map)
+        if isinstance(coord_map, LinearMap)
+        and not isinstance(coord_map, JLinearMap)
+        else coord_map
+    )
     for lo in range(0, len(seeds), window):
         chunk_seeds = seeds[lo : lo + window]
         idx = np.stack(
@@ -1236,12 +1296,15 @@ def fused_gb_linear_map_batch(
             maps.append(
                 _package_fused_map(
                     coefs_i, resid_i, gram_i, rows_i, b_i,
-                    coord_map, setup["onehot"],
+                    package_coord_map, setup["onehot"],
                     setup["centers"], kbt, spec, resid_tol,
+                    device_consts=device_consts,
+                    coefs_dev=coefs_b[i],
                 )
             )
         # drop the window's device buffers before the next dispatch — only
-        # the fetched coefficients survive in the packaged maps
+        # the fetched coefficients (plus each map's own (S, K) coefficient
+        # slice, ~25 KB) survive in the packaged maps
         del coefs_b, resid_b, gram, rows_b, b_b
     return maps
 
@@ -1538,6 +1601,8 @@ def fused_gb_linear_map_blocked(
 def _package_fused_map(
     coefs, solver_resid, gram, a_rows, b, coord_map, onehot, centers, kbt,
     spec, resid_tol,
+    device_consts=None,
+    coefs_dev=None,
 ) -> CLAFTMap:
     """Fetch coefficients + residual (the fit's single host sync), escalate
     unconverged solves to float64, and wrap the result as a CLAFTMap.
@@ -1546,11 +1611,20 @@ def _package_fused_map(
     or None when the caller has already applied the same escalation
     predicate and established this fit will not escalate (the batch path
     does this to avoid pinning per-fit device constraint systems in HBM).
+
+    ``device_consts`` (see :meth:`FusedGBMap.make_device_consts`) and
+    ``coefs_dev`` (the fit's coefficients still on device) let batch
+    callers skip the per-map host->device re-uploads of construction
+    constants — the packaging RPCs otherwise dominate batched per-fit
+    cost on remote-attached devices. ``coord_map`` may already be a
+    JLinearMap (batch callers convert once and share it).
     """
     coefs_np, resid_val = jax.device_get((coefs, solver_resid))
     coefs_np = np.asarray(coefs_np)
     resid_val = float(resid_val)
+    escalated = False
     if not np.all(np.isfinite(coefs_np)) or not resid_val <= resid_tol:  # NaN-aware
+        escalated = True
         # f32 solves on ill-conditioned feature Grams can fail outright
         # (non-finite) or converge past tolerance while staying finite —
         # OSQP's eps_abs=1e-7 + polish would catch both (reference
@@ -1585,13 +1659,16 @@ def _package_fused_map(
     if not np.all(np.isfinite(coefs_np)):
         raise ValueError("Map optimization failed.")
     force_map = FusedGBMap(
-        coefs=coefs_np,
+        # device-resident coefficients when the f32 solve stood (asarray is
+        # then a no-op); escalated fits upload their f64-refined values
+        coefs=coefs_np if (coefs_dev is None or escalated) else coefs_dev,
         cmap_mat=np.asarray(coord_map.standard_matrix, dtype=np.float32),
         onehot=onehot,
         centers=centers,
         kbt=kbt,
         spec=spec,
         tags={"coef_list": list(coefs_np), "solver_resid": resid_val},
+        device_consts=device_consts,
     )
     from ..map import JLinearMap
 

@@ -690,15 +690,18 @@ def run_featurized() -> None:
     # clocks on remote-attached devices
     from aggforce_tpu.qp.fusedfeat import fused_gb_linear_map_batch
 
-    # one full flush window (16): window-aligned so no padded solves, and
-    # the per-window fixed cost (Gram pass + dispatch round-trip + per-site
-    # factorization) amortizes over every fit reported
-    n_batch = 16
+    # one full flush window: window-aligned so no padded solves, and the
+    # per-window fixed cost (Gram pass + dispatch round-trip + per-site
+    # factorization) amortizes over every fit reported. 64 is the measured
+    # sweet spot (5.97 ms/fit vs 13.0 at 16; tools/probe_batch_window.py)
+    # now that packaging shares one set of device constants per window.
+    n_batch = int(os.environ.get("BENCH_BATCH", "64"))
     # untimed warm call: loading/compiling the batch executable happens
     # here, so the timed call below measures steady-state batch throughput
     fused_gb_linear_map_batch(
         traj, cmap, kbt=kbt, spec=spec, seeds=range(500, 500 + n_batch),
         constraints=constraints, l2_regularization=1e3, chunk_size=2048,
+        flush_every=n_batch,
     )
     batch_times = []
     for rep in range(3):
@@ -707,6 +710,7 @@ def run_featurized() -> None:
             traj, cmap, kbt=kbt, spec=spec,
             seeds=range(200 + rep * n_batch, 200 + (rep + 1) * n_batch),
             constraints=constraints, l2_regularization=1e3, chunk_size=2048,
+            flush_every=n_batch,
         )
         batch_times.append(time.perf_counter() - t0)
     t_batch = min(batch_times)

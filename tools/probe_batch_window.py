@@ -54,3 +54,53 @@ for w in windows:
         f"{w * frames / t:9.0f} frames/s)  runs="
         f"{['%.3f' % x for x in times]}"
     )
+
+# --- device-program-only timing (isolates wrapper/host-side per-fit cost) ---
+import jax
+import jax.numpy as jnp
+
+from aggforce_tpu.qp.fusedfeat import (  # noqa: E402
+    _fit_coefs_batch_e2e,
+    _prepare_fused_setup,
+    group_factorization,
+)
+from aggforce_tpu.trajectory import Trajectory  # noqa: E402
+
+spec2 = spec
+setup = _prepare_fused_setup(traj, cmap, spec2, constraints, 2048, None, "auto")
+dtype = jnp.float32
+common = (
+    jnp.asarray(cmap.standard_matrix, dtype=dtype),
+    jnp.asarray(setup["group_mean"], dtype=dtype),
+    jnp.asarray(setup["onehot"], dtype=dtype),
+    jnp.asarray(setup["counts"], dtype=dtype),
+    jnp.asarray(setup["centers"], dtype=dtype),
+    jnp.asarray(kbt, dtype=dtype),
+    jnp.asarray(1e3, dtype=dtype),
+)
+rng = np.random.default_rng(0)
+for w in windows:
+    fidx = jnp.asarray(
+        np.stack([rng.choice(frames, 20, replace=False) for _ in range(w)])
+    )
+    kw = dict(
+        spec=spec2, n_chunks=setup["n_chunks"],
+        t_pad=-(-setup["t_pad"] // setup["t_blk"]) * setup["t_blk"]
+        if setup["use_pallas"] else setup["t_pad"],
+        solver_delta=jnp.asarray(1e-6, dtype=dtype), solver_iters=40,
+        use_pallas=setup["use_pallas"], t_block=setup["t_blk"],
+    )
+    out = _fit_coefs_batch_e2e(traj.coords, traj.forces, fidx, *common, **kw)
+    jax.block_until_ready(out)
+    float(jnp.sum(out[0]))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = _fit_coefs_batch_e2e(traj.coords, traj.forces, fidx, *common, **kw)
+        float(jnp.sum(out[0]))
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    print(
+        f"program-only window {w:3d}: {t:7.3f}s  ({t / w * 1e3:6.2f} ms/fit)"
+        f"  runs={['%.3f' % x for x in times]}"
+    )
