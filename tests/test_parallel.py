@@ -368,3 +368,37 @@ def test_batch_mesh_fit_uses_sharded_solve(waterdimer):
         np.testing.assert_allclose(
             np.asarray(fb), np.asarray(fa), atol=2e-3 * scale
         )
+
+
+def test_staged_gauss_mesh_matches_unsharded():
+    """Mesh-composed fused staged-Gaussian pipeline == unsharded, seed for seed.
+
+    GSPMD partitioning is value-semantic: the frame-sharded program must
+    reproduce the unsharded one's noise draws and fits exactly up to f32
+    reduction order (compared through mapped outputs).
+    """
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.jgauss import stagedjoptgauss_map
+    from aggforce_tpu.trajectory import Trajectory
+
+    rng = np.random.default_rng(3)
+    coords = rng.normal(size=(64, 9, 3)).astype(np.float32)
+    forces = rng.normal(size=(64, 9, 3)).astype(np.float32)
+    cmap = LinearMap([[0, 1, 2], [3, 4, 5], [6, 7, 8]], n_fg_sites=9)
+    traj = Trajectory(
+        coords=jnp.asarray(coords), forces=jnp.asarray(forces)
+    )
+    plain = stagedjoptgauss_map(traj, cmap, var=0.3, kbt=0.7, seed=11)
+    meshed = stagedjoptgauss_map(
+        traj, cmap, var=0.3, kbt=0.7, seed=11, mesh=make_mesh()
+    )
+    # the noised map redraws per application; the FITTED pieces are the
+    # deterministic artifacts to compare (premap + noise-site force maps)
+    # submap [1] is the deterministic premap stage (rightmost applies
+    # first); its fitted force map is the artifact to compare
+    f_plain = plain[1].force_map.standard_matrix
+    f_mesh = meshed[1].force_map.standard_matrix
+    np.testing.assert_allclose(
+        np.asarray(f_mesh), np.asarray(f_plain), atol=5e-5
+    )
