@@ -289,3 +289,181 @@ def unpack_gram(gram_pad: jax.Array, g: int, n_basis: int) -> jax.Array:
     basis_idx = (g_pad + kk[None, :] * g_pad + gi[:, None]).reshape(-1)
     idx = jnp.concatenate([jnp.arange(g), basis_idx])
     return gram_pad[:, idx[:, None], idx[None, :]]
+
+
+def _gram_tiled_kernel(
+    centers_ref,  # (1, B) SMEM: basis centers; index 0 = id block (unused)
+    gpos_ref,  # (3, tb, G_pad)
+    cg_ref,  # (1, 3, tb)
+    fg_ref,  # (3, tb, G_pad)
+    maskd_ref,  # (tb, 1)
+    counts_ref,  # (1, G_pad) kbt * group size
+    out_ref,  # (1, 1, 1, G_pad, G_pad) block (bi, bj) accumulator
+    *,
+    width: float,
+    clip: float,
+):
+    """One (basis-block i, basis-block j) tile of the per-site Gram.
+
+    In the k-major layout every K_pad-wide design row is B = 1 + n_basis
+    contiguous G_pad-wide blocks: block 0 is the id columns (fg itself),
+    block b >= 1 is fg * gz_b + dph_b * u for basis center b-1. A Gram
+    tile therefore needs only the two blocks' (tb, G_pad) rows — no
+    K_pad-wide tensor ever exists, which is what lets solvated-scale
+    Grams (K_pad ~ 9k, full accumulator ~330 MB >> VMEM) run as a Pallas
+    kernel at all.
+    """
+    bi = pl.program_id(1)
+    bj = pl.program_id(2)
+    step = pl.program_id(3)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0, 0, 0] = jnp.zeros_like(out_ref[0, 0, 0])
+
+    inv_w = 1.0 / width
+    disp0 = gpos_ref[0] - cg_ref[0, 0, :][:, None]
+    disp1 = gpos_ref[1] - cg_ref[0, 1, :][:, None]
+    disp2 = gpos_ref[2] - cg_ref[0, 2, :][:, None]
+    d = jnp.sqrt(disp0 * disp0 + disp1 * disp1 + disp2 * disp2)
+    inv_d = 1.0 / jnp.maximum(d, 1e-30)
+
+    def block_parts(b, center):
+        # gz == 1, dph == 0 degenerate the block to the id columns
+        offset = (d - center) * inv_w
+        raw = jnp.exp(-(offset * offset))
+        gz = jnp.maximum(raw, clip) - clip
+        live = (raw > clip).astype(raw.dtype)
+        dph = (
+            counts_ref[0, :]
+            * live
+            * raw
+            * (-2.0 * inv_w)
+            * offset
+            * maskd_ref[:, 0:1]
+        )
+        is_id = (b == 0).astype(raw.dtype)
+        return is_id + (1.0 - is_id) * gz, (1.0 - is_id) * dph
+
+    # scalar loads with a dynamic index are legal from SMEM (the usual
+    # scalar-prefetch pattern); a dynamic_slice of a VMEM vector is not
+    gz_i, dph_i = block_parts(bi, centers_ref[0, bi])
+    gz_j, dph_j = block_parts(bj, centers_ref[0, bj])
+
+    acc = jnp.zeros_like(out_ref[0, 0, 0])
+    for disp_a, fg_a in (
+        (disp0, fg_ref[0]),
+        (disp1, fg_ref[1]),
+        (disp2, fg_ref[2]),
+    ):
+        u_a = disp_a * inv_d
+        row_i = fg_a * gz_i + dph_i * u_a
+        row_j = fg_a * gz_j + dph_j * u_a
+        acc = acc + jax.lax.dot_general(
+            row_i,
+            row_j,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, 0] = out_ref[0, 0, 0] + acc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_basis", "width", "clip", "t_block", "interpret"),
+)
+def pallas_site_grams_tiled(
+    gpos: jax.Array,  # (3, T, G_pad)
+    cg: jax.Array,  # (S, 3, T)
+    fg: jax.Array,  # (3, T, G_pad)
+    mask: jax.Array,  # (T,)
+    centers: jax.Array,  # (n_basis,) RAW centers (not flat-tiled)
+    kbt_counts: jax.Array,  # (G_pad,) kbt * group size (not flat-tiled)
+    n_basis: int,
+    width: float,
+    clip: float,
+    t_block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sweep-scale per-site Grams, Gram-tiled: returns (S, K_pad, K_pad).
+
+    Same contract as :func:`pallas_site_grams` (T % t_block == 0, G_pad a
+    multiple of 16, k-major column layout) but the Gram is computed one
+    (G_pad, G_pad) basis-block pair at a time, so VMEM holds two row
+    blocks plus one tile accumulator instead of the full K_pad-wide
+    design row and K_pad^2 accumulator — the flagship kernel's live set
+    is O(K_pad^2) and caps out around K_pad ~ 1-2k, this one is
+    O(G_pad^2) and runs the 9k-feature solvated geometry. The full B x B
+    block grid does ~2x the minimal (symmetric) FLOPs; at 25 TF/s scan
+    baseline the kernel still wins ~3x.
+    """
+    _, t, g_pad = gpos.shape
+    s_dim = cg.shape[0]
+    b_dim = 1 + n_basis
+    n_steps = t // t_block
+    centers_b = jnp.concatenate(
+        [jnp.zeros((1,), centers.dtype), centers]
+    )  # index 0 = id block (value unused)
+
+    grid = (s_dim, b_dim, b_dim, n_steps)
+    kernel = partial(_gram_tiled_kernel, width=width, clip=clip)
+    blocks = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, b_dim),
+                lambda s, bi, bj, i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (3, t_block, g_pad),
+                lambda s, bi, bj, i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, t_block),
+                lambda s, bi, bj, i: (s, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, t_block, g_pad),
+                lambda s, bi, bj, i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (t_block, 1),
+                lambda s, bi, bj, i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g_pad),
+                lambda s, bi, bj, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, g_pad, g_pad),
+            lambda s, bi, bj, i: (s, bi, bj, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (s_dim, b_dim, b_dim, g_pad, g_pad), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        centers_b[None, :],
+        gpos,
+        cg,
+        fg,
+        mask[:, None],
+        kbt_counts[None, :],
+    )
+    # reassemble blocks into the flat k-major (S, K_pad, K_pad) layout the
+    # existing unpack_gram permutation understands
+    k_pad = b_dim * g_pad
+    gram = jnp.swapaxes(blocks, 2, 3).reshape(s_dim, k_pad, k_pad)
+    return gram

@@ -842,7 +842,9 @@ def _fit_coefs_e2e(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_chunks", "t_pad", "solver_iters"),
+    static_argnames=(
+        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
+    ),
 )
 def _fit_coefs_siteblock_e2e(
     coords: jax.Array,  # (T, N, 3) — unpadded
@@ -862,6 +864,8 @@ def _fit_coefs_siteblock_e2e(
     t_pad: int,
     solver_delta: jax.Array,
     solver_iters: int,
+    use_pallas: bool = False,
+    t_block: int = 512,
 ):
     """One site block of the fused featurized fit, as ONE program.
 
@@ -883,10 +887,34 @@ def _fit_coefs_siteblock_e2e(
     k_exp = spec.n_basis * onehot.shape[1] + (
         onehot.shape[1] if spec.include_id else 0
     )
-    gram = _scan_gram(
-        coords_p, forces_p, mask, cmap_block, group_mean, onehot, counts,
-        centers, kbt, spec, n_chunks,
-    )
+    if use_pallas:
+        from ..ops.pallas_gram import (
+            pack_operands,
+            pallas_site_grams_tiled,
+            unpack_gram,
+        )
+
+        gpos, cgp, fgp, _, _ = pack_operands(
+            coords_p, forces_p, mask, cmap_block, group_mean, onehot,
+            counts, kbt, spec.n_basis, centers,
+        )
+        g = onehot.shape[1]
+        g_pad = gpos.shape[2]
+        kbt_counts = jnp.pad(kbt * counts, (0, g_pad - g))
+        gram_pad = pallas_site_grams_tiled(
+            gpos, cgp, fgp, mask, centers, kbt_counts,
+            n_basis=spec.n_basis, width=spec.width, clip=spec.clip,
+            t_block=t_block,
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+        gram = unpack_gram(gram_pad, g, spec.n_basis)
+        if not spec.include_id:
+            gram = gram[:, g:, g:]
+    else:
+        gram = _scan_gram(
+            coords_p, forces_p, mask, cmap_block, group_mean, onehot,
+            counts, centers, kbt, spec, n_chunks,
+        )
     gram = gram + l2_regularization * jnp.eye(k_exp, dtype=dtype)
     a_rows, b = _assemble_constraint_system(
         constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
@@ -1474,6 +1502,7 @@ def fused_gb_linear_map_blocked(
     solver_iters: int = 40,
     resid_tol: float = 1e-4,
     site_block: int = 2,
+    use_pallas: Union[bool, str] = "auto",
 ) -> CLAFTMap:
     """Site-blocked featurized fit for solvated-system (sweep) scale.
 
@@ -1495,6 +1524,12 @@ def fused_gb_linear_map_blocked(
     are FLOP-dominated; blocks stream through the chip back to back and
     MXU utilization is identical to the unblocked program's.
 
+    ``use_pallas`` ("auto": on for TPU) routes the Gram through the
+    Gram-tiled Pallas kernel (:func:`..ops.pallas_gram.pallas_site_grams_tiled`)
+    — the flagship kernel's VMEM accumulator cannot hold K_pad ~ 9k, so
+    the tile variant computes one (G_pad, G_pad) basis-block pair at a
+    time, trading ~2x the symmetric-minimum FLOPs for a bounded live set.
+
     Escalation granularity differs from the unblocked program, by design:
     :func:`_package_fused_map` escalates EVERY site to the float64 oracle
     when the map's max residual misses ``resid_tol``, while this path
@@ -1506,13 +1541,22 @@ def fused_gb_linear_map_blocked(
     if constraints is None:
         constraints = set()
     setup = _prepare_fused_setup(
-        traj, coord_map, spec, constraints, chunk_size, None, False
+        traj, coord_map, spec, constraints, chunk_size, None, use_pallas
     )
     onehot, group_mean, counts, centers = (
         setup["onehot"], setup["group_mean"], setup["counts"],
         setup["centers"],
     )
     t, n_chunks, t_pad = setup["t"], setup["n_chunks"], setup["t_pad"]
+    use_pallas = setup["use_pallas"]
+    # the Gram-tiled kernel's VMEM live set is O(t_block * G_pad) input
+    # windows plus a (G_pad, G_pad) tile accumulator; deep frame blocks
+    # feed the MXU but at solvated G_pad the 512-deep windows overflow the
+    # ~100 MB VMEM grant, so the depth backs off with group width
+    g_pad_est = max(16, -(-onehot.shape[1] // 16) * 16)
+    t_blk = 512 if (t >= 4096 and g_pad_est <= 1536) else 256
+    if use_pallas:
+        t_pad = -(-t_pad // t_blk) * t_blk
 
     rng = constraint_rng if constraint_rng is not None else np.random.default_rng()
     n_constraint_frames = min(n_constraint_frames, t)
@@ -1550,6 +1594,7 @@ def fused_gb_linear_map_blocked(
             spec=spec, n_chunks=n_chunks, t_pad=t_pad,
             solver_delta=jnp.asarray(solver_delta, dtype=dtype),
             solver_iters=solver_iters,
+            use_pallas=use_pallas, t_block=t_blk,
         )
         coefs_np, resid_np = jax.device_get((coefs_b, resid_b))
         coefs_np = np.array(coefs_np)[: len(idx)]

@@ -139,3 +139,30 @@ def test_pallas_gram_matches_fused_xla_path(packed):
     )
     scale = np.abs(xla).max() + 1.0
     np.testing.assert_allclose(pal, xla, atol=3e-4 * scale)
+
+
+def test_pallas_tiled_gram_matches_oracle(packed):
+    """The sweep-scale Gram-tiled kernel == the flat oracle, same layout."""
+    from aggforce_tpu.ops.pallas_gram import pallas_site_grams_tiled
+
+    (gpos, cg, fg, centers_flat, kcounts), mask, g, k, spec, extras = packed
+    centers = extras[6]
+    counts = extras[4]
+    width, clip = 1.0, 1e-3
+    g_pad = gpos.shape[2]
+    kbt_counts = np.zeros(g_pad, np.float32)
+    kbt_counts[:g] = 0.7 * counts
+    got = np.asarray(
+        pallas_site_grams_tiled(
+            gpos, cg, fg, jnp.asarray(mask), jnp.asarray(centers),
+            jnp.asarray(kbt_counts),
+            n_basis=k, width=width, clip=clip, t_block=8,
+            interpret=INTERPRET,
+        )
+    )
+    expect = reference_site_grams(
+        np.asarray(gpos), np.asarray(cg), np.asarray(fg), mask,
+        np.asarray(centers_flat), np.asarray(kcounts), k, width, clip,
+    )
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(got, expect, atol=3e-4 * scale)
