@@ -292,18 +292,20 @@ def unpack_gram(gram_pad: jax.Array, g: int, n_basis: int) -> jax.Array:
 
 
 def _gram_tiled_kernel(
-    centers_ref,  # (1, B) SMEM: basis centers; index 0 = id block (unused)
+    pair_bi_ref,  # (n_pairs,) SMEM: basis-block row index of pair p
+    pair_bj_ref,  # (n_pairs,) SMEM: basis-block col index of pair p
+    centers_ref,  # (B,) SMEM: basis centers; index 0 = id block (unused)
     gpos_ref,  # (3, tb, G_pad)
     cg_ref,  # (1, 3, tb)
     fg_ref,  # (3, tb, G_pad)
     maskd_ref,  # (tb, 1)
     counts_ref,  # (1, G_pad) kbt * group size
-    out_ref,  # (1, 1, 1, G_pad, G_pad) block (bi, bj) accumulator
+    out_ref,  # (1, 1, G_pad, G_pad) accumulator of pair p's tile
     *,
     width: float,
     clip: float,
 ):
-    """One (basis-block i, basis-block j) tile of the per-site Gram.
+    """One upper-triangle (basis-block i, basis-block j) Gram tile.
 
     In the k-major layout every K_pad-wide design row is B = 1 + n_basis
     contiguous G_pad-wide blocks: block 0 is the id columns (fg itself),
@@ -311,15 +313,18 @@ def _gram_tiled_kernel(
     tile therefore needs only the two blocks' (tb, G_pad) rows — no
     K_pad-wide tensor ever exists, which is what lets solvated-scale
     Grams (K_pad ~ 9k, full accumulator ~330 MB >> VMEM) run as a Pallas
-    kernel at all.
+    kernel at all. The grid walks only the B(B+1)/2 upper-triangle block
+    pairs (scalar-prefetched (bi, bj) lists); the caller mirrors the
+    strictly-lower tiles, so the kernel does the symmetric-minimum FLOPs.
     """
-    bi = pl.program_id(1)
-    bj = pl.program_id(2)
-    step = pl.program_id(3)
+    p = pl.program_id(1)
+    step = pl.program_id(2)
+    bi = pair_bi_ref[p]
+    bj = pair_bj_ref[p]
 
     @pl.when(step == 0)
     def _():
-        out_ref[0, 0, 0] = jnp.zeros_like(out_ref[0, 0, 0])
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
 
     inv_w = 1.0 / width
     disp0 = gpos_ref[0] - cg_ref[0, 0, :][:, None]
@@ -347,10 +352,10 @@ def _gram_tiled_kernel(
 
     # scalar loads with a dynamic index are legal from SMEM (the usual
     # scalar-prefetch pattern); a dynamic_slice of a VMEM vector is not
-    gz_i, dph_i = block_parts(bi, centers_ref[0, bi])
-    gz_j, dph_j = block_parts(bj, centers_ref[0, bj])
+    gz_i, dph_i = block_parts(bi, centers_ref[bi])
+    gz_j, dph_j = block_parts(bj, centers_ref[bj])
 
-    acc = jnp.zeros_like(out_ref[0, 0, 0])
+    acc = jnp.zeros_like(out_ref[0, 0])
     for disp_a, fg_a in (
         (disp0, fg_ref[0]),
         (disp1, fg_ref[1]),
@@ -365,7 +370,7 @@ def _gram_tiled_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0, 0, 0] = out_ref[0, 0, 0] + acc
+    out_ref[0, 0] = out_ref[0, 0] + acc
 
 
 @partial(
@@ -393,9 +398,10 @@ def pallas_site_grams_tiled(
     blocks plus one tile accumulator instead of the full K_pad-wide
     design row and K_pad^2 accumulator — the flagship kernel's live set
     is O(K_pad^2) and caps out around K_pad ~ 1-2k, this one is
-    O(G_pad^2) and runs the 9k-feature solvated geometry. The full B x B
-    block grid does ~2x the minimal (symmetric) FLOPs; at 25 TF/s scan
-    baseline the kernel still wins ~3x.
+    O(G_pad^2) and runs the 9k-feature solvated geometry. The grid walks
+    only the B(B+1)/2 upper-triangle block pairs (the Gram is symmetric;
+    tile (bj, bi) is tile (bi, bj) transposed) — the symmetric-minimum
+    FLOPs, mirrored into the full square by one XLA gather/where.
     """
     _, t, g_pad = gpos.shape
     s_dim = cg.shape[0]
@@ -405,65 +411,87 @@ def pallas_site_grams_tiled(
         [jnp.zeros((1,), centers.dtype), centers]
     )  # index 0 = id block (value unused)
 
-    grid = (s_dim, b_dim, b_dim, n_steps)
+    pairs = [(i, j) for i in range(b_dim) for j in range(i, b_dim)]
+    n_pairs = len(pairs)
+    pair_bi = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    pair_bj = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    # (bi, bj) -> pair index and whether the stored tile needs transposing
+    pair_of = np.zeros((b_dim, b_dim), np.int32)
+    mirrored = np.zeros((b_dim, b_dim), np.bool_)
+    for p, (i, j) in enumerate(pairs):
+        pair_of[i, j] = p
+        pair_of[j, i] = p
+        mirrored[j, i] = i != j
+
+    grid = (s_dim, n_pairs, n_steps)
     kernel = partial(_gram_tiled_kernel, width=width, clip=clip)
-    blocks = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # pair_bi, pair_bj, centers
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, b_dim),
-                lambda s, bi, bj, i: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
                 (3, t_block, g_pad),
-                lambda s, bi, bj, i: (0, i, 0),
+                lambda s, p, i, *refs: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 3, t_block),
-                lambda s, bi, bj, i: (s, 0, i),
+                lambda s, p, i, *refs: (s, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (3, t_block, g_pad),
-                lambda s, bi, bj, i: (0, i, 0),
+                lambda s, p, i, *refs: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (t_block, 1),
-                lambda s, bi, bj, i: (i, 0),
+                lambda s, p, i, *refs: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, g_pad),
-                lambda s, bi, bj, i: (0, 0),
+                lambda s, p, i, *refs: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, g_pad, g_pad),
-            lambda s, bi, bj, i: (s, bi, bj, 0, 0),
+            (1, 1, g_pad, g_pad),
+            lambda s, p, i, *refs: (s, p, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    )
+    blocks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (s_dim, b_dim, b_dim, g_pad, g_pad), jnp.float32
+            (s_dim, n_pairs, g_pad, g_pad), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(
-        centers_b[None, :],
+        pair_bi,
+        pair_bj,
+        centers_b,
         gpos,
         cg,
         fg,
         mask[:, None],
         kbt_counts[None, :],
     )
-    # reassemble blocks into the flat k-major (S, K_pad, K_pad) layout the
+    # mirror the upper-triangle tiles into the full block square, then
+    # reassemble into the flat k-major (S, K_pad, K_pad) layout the
     # existing unpack_gram permutation understands
+    full = blocks[:, pair_of.reshape(-1)].reshape(
+        s_dim, b_dim, b_dim, g_pad, g_pad
+    )
+    full = jnp.where(
+        jnp.asarray(mirrored)[None, :, :, None, None],
+        jnp.swapaxes(full, 3, 4),
+        full,
+    )
     k_pad = b_dim * g_pad
-    gram = jnp.swapaxes(blocks, 2, 3).reshape(s_dim, k_pad, k_pad)
+    gram = jnp.swapaxes(full, 2, 3).reshape(s_dim, k_pad, k_pad)
     return gram

@@ -343,7 +343,11 @@ def run_sweep_featurized() -> None:
     k_exp = n_groups * (1 + n_basis)
     s_sites = cmap.n_cg_sites
     stack_gb = s_sites * k_exp**2 * 4 / 1e9
-    budget_gb = float(os.environ.get("AGGFORCE_GRAM_HBM_GB", "4.0"))
+    # measured on v5e-16GB: site_block=6 fits (solver-stage batching
+    # amortizes the latency-bound Cholesky/inverse panels: 39.7 s -> 34.3 s
+    # per fit vs site_block=4); site_block=8 exhausts HBM on the solve's
+    # factor+inverse transients
+    budget_gb = float(os.environ.get("AGGFORCE_GRAM_HBM_GB", "6.0"))
     site_block = int(
         os.environ.get(
             "BENCH_SITE_BLOCK",
