@@ -840,13 +840,7 @@ def _fit_coefs_e2e(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
-    ),
-)
-def _fit_coefs_siteblock_e2e(
+def _siteblock_fit_body(
     coords: jax.Array,  # (T, N, 3) — unpadded
     forces: jax.Array,
     frame_idx: jax.Array,  # (F,) constraint-frame indices
@@ -864,18 +858,15 @@ def _fit_coefs_siteblock_e2e(
     t_pad: int,
     solver_delta: jax.Array,
     solver_iters: int,
-    use_pallas: bool = False,
-    t_block: int = 512,
+    use_pallas: bool,
+    t_block: int,
 ):
-    """One site block of the fused featurized fit, as ONE program.
+    """Traceable body of the site-block fit (shared by jit and shard_map).
 
-    The per-site QPs are independent (the whole-map Gram is block-diagonal
-    across sites), so fitting Sb sites at a time is EXACT — it bounds peak
-    HBM at ~3*Sb*K_exp^2 floats (block Gram + factor + explicit inverse)
-    instead of the full map's S*K_exp^2, which at solvated-system scale
-    (K_exp = G*(1+n_basis) ~ 18k for ~3k atoms) exceeds device memory as
-    one program. Every block reuses this executable: blocks are padded to
-    a common Sb so the trace is shape-stable.
+    Everything here is per-site-block arithmetic with no cross-block
+    dependency, which is exactly what lets the mesh variant shard the
+    site-block axis with NO collectives (cf. reference qp/qplinear.py's
+    serial per-map OSQP loop, the stage this distributes).
     """
     t = coords.shape[0]
     dtype = jnp.float32
@@ -925,6 +916,84 @@ def _fit_coefs_siteblock_e2e(
         iters=solver_iters, return_resid=True,
     )
     return coefs[0, ..., 0], resids[0], gram, a_rows, b
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas", "t_block"
+    ),
+)
+def _fit_coefs_siteblock_e2e(
+    coords, forces, frame_idx, cmap_block, site_sel, cmap_mat, group_mean,
+    onehot, counts, centers, kbt, l2_regularization,
+    spec: GBFeatSpec, n_chunks: int, t_pad: int, solver_delta,
+    solver_iters: int, use_pallas: bool = False, t_block: int = 512,
+):
+    """One site block of the fused featurized fit, as ONE program.
+
+    The per-site QPs are independent (the whole-map Gram is block-diagonal
+    across sites), so fitting Sb sites at a time is EXACT — it bounds peak
+    HBM at ~3*Sb*K_exp^2 floats (block Gram + factor + explicit inverse)
+    instead of the full map's S*K_exp^2, which at solvated-system scale
+    (K_exp = G*(1+n_basis) ~ 18k for ~3k atoms) exceeds device memory as
+    one program. Every block reuses this executable: blocks are padded to
+    a common Sb so the trace is shape-stable.
+    """
+    return _siteblock_fit_body(
+        coords, forces, frame_idx, cmap_block, site_sel, cmap_mat,
+        group_mean, onehot, counts, centers, kbt, l2_regularization,
+        spec, n_chunks, t_pad, solver_delta, solver_iters, use_pallas,
+        t_block,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "n_chunks", "t_pad", "solver_iters", "use_pallas",
+        "t_block", "mesh",
+    ),
+)
+def _fit_coefs_siteblock_mesh(
+    coords, forces, frame_idx, cmap_blocks, site_sels, cmap_mat, group_mean,
+    onehot, counts, centers, kbt, l2_regularization,
+    spec: GBFeatSpec, n_chunks: int, t_pad: int, solver_delta,
+    solver_iters: int, use_pallas: bool, t_block: int, mesh=None,
+):
+    """Site-sharded super-block fit: n_dev site blocks, one per device.
+
+    The per-site QPs are independent, so the site-block axis shards with
+    NO collectives: every device runs the whole block program (Gram —
+    Pallas-tiled or scan — constraint assembly, shared-factor KKT solve)
+    on its own ``Sb``-site slice of ``cmap_blocks``/``site_sels`` while
+    the trajectory operands are replicated. This is the multi-chip form
+    of SURVEY's "shard the cg-site axis for the per-site QPs": the sweep
+    fit's device floor divides by the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(cb, sel):
+        return _siteblock_fit_body(
+            coords, forces, frame_idx, cb, sel, cmap_mat, group_mean,
+            onehot, counts, centers, kbt, l2_regularization, spec,
+            n_chunks, t_pad, solver_delta, solver_iters, use_pallas,
+            t_block,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        # pallas_call outputs do not carry varying-mesh-axis metadata yet
+        # (same situation as _pallas_mesh_fit_parts); there is no psum to
+        # miss here — the shards are fully independent — and
+        # tests/test_featlinear.py pins mesh-vs-single parity
+        check_vma=False,
+    )(cmap_blocks, site_sels)
 
 
 @partial(
@@ -1503,6 +1572,7 @@ def fused_gb_linear_map_blocked(
     resid_tol: float = 1e-4,
     site_block: int = 2,
     use_pallas: Union[bool, str] = "auto",
+    mesh=None,
 ) -> CLAFTMap:
     """Site-blocked featurized fit for solvated-system (sweep) scale.
 
@@ -1527,8 +1597,16 @@ def fused_gb_linear_map_blocked(
     ``use_pallas`` ("auto": on for TPU) routes the Gram through the
     Gram-tiled Pallas kernel (:func:`..ops.pallas_gram.pallas_site_grams_tiled`)
     — the flagship kernel's VMEM accumulator cannot hold K_pad ~ 9k, so
-    the tile variant computes one (G_pad, G_pad) basis-block pair at a
-    time, trading ~2x the symmetric-minimum FLOPs for a bounded live set.
+    the tile variant computes one (G_pad, G_pad) upper-triangle
+    basis-block pair at a time, mirroring the symmetric tiles in XLA.
+
+    Passing a 1-D ``mesh`` shards the SITE-BLOCK axis: each device runs
+    one ``site_block``-site block program (Gram + assembly + solve) on a
+    replicated trajectory, with no collectives — the per-site QPs are
+    independent, so a super-block of ``n_dev * site_block`` sites fits
+    per dispatch and the device floor divides by the mesh size. Per-site
+    float64 escalation is unchanged (the sharded QP pieces are fetched
+    only for failing sites).
 
     Escalation granularity differs from the unblocked program, by design:
     :func:`_package_fused_map` escalates EVERY site to the float64 oracle
@@ -1566,6 +1644,8 @@ def fused_gb_linear_map_blocked(
     cmap_np = np.asarray(coord_map.standard_matrix, dtype=np.float32)
     s_all = cmap_np.shape[0]
     sb = max(1, min(site_block, s_all))
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    step_sites = sb * n_dev  # sites per dispatch (one block per device)
     coords_dev = jnp.asarray(traj.coords)
     forces_dev = jnp.asarray(traj.forces)
     frame_idx_dev = jnp.asarray(frame_idx)
@@ -1580,22 +1660,34 @@ def fused_gb_linear_map_blocked(
     )
     coefs_blocks = []
     resid_max = 0.0
-    for s0 in range(0, s_all, sb):
-        idx = np.arange(s0, min(s0 + sb, s_all))
+    for s0 in range(0, s_all, step_sites):
+        idx = np.arange(s0, min(s0 + step_sites, s_all))
         # pad the final block by repeating its last site; dropped on exit
-        pad_idx = np.concatenate([idx, np.repeat(idx[-1:], sb - len(idx))])
-        sel = np.zeros((sb, s_all), dtype=np.float32)
-        sel[np.arange(sb), pad_idx] = 1.0
-        coefs_b, resid_b, gram_b, rows_b, b_b = _fit_coefs_siteblock_e2e(
-            coords_dev, forces_dev, frame_idx_dev,
-            jnp.asarray(cmap_np[pad_idx], dtype=dtype),
-            jnp.asarray(sel),
-            *common,
+        pad_idx = np.concatenate(
+            [idx, np.repeat(idx[-1:], step_sites - len(idx))]
+        )
+        sel = np.zeros((step_sites, s_all), dtype=np.float32)
+        sel[np.arange(step_sites), pad_idx] = 1.0
+        fit_kwargs = dict(
             spec=spec, n_chunks=n_chunks, t_pad=t_pad,
             solver_delta=jnp.asarray(solver_delta, dtype=dtype),
             solver_iters=solver_iters,
             use_pallas=use_pallas, t_block=t_blk,
         )
+        fit_args = (
+            coords_dev, forces_dev, frame_idx_dev,
+            jnp.asarray(cmap_np[pad_idx], dtype=dtype),
+            jnp.asarray(sel),
+            *common,
+        )
+        if mesh is None:
+            coefs_b, resid_b, gram_b, rows_b, b_b = _fit_coefs_siteblock_e2e(
+                *fit_args, **fit_kwargs
+            )
+        else:
+            coefs_b, resid_b, gram_b, rows_b, b_b = _fit_coefs_siteblock_mesh(
+                *fit_args, **fit_kwargs, mesh=mesh
+            )
         coefs_np, resid_np = jax.device_get((coefs_b, resid_b))
         coefs_np = np.array(coefs_np)[: len(idx)]
         resid_np = np.array(resid_np)[: len(idx)]

@@ -527,3 +527,50 @@ def test_fused_blocked_pallas_matches_scan():
     np.testing.assert_allclose(
         np.asarray(f_pal), np.asarray(f_scan), atol=2e-3
     )
+
+
+def test_fused_blocked_mesh_matches_single():
+    """Site-sharded blocked fit (one block per device) == single-device.
+
+    The mesh variant shards the site-block axis with no collectives; each
+    shard runs the identical block program, so parity is arithmetic
+    identity up to f32 noise on this well-conditioned geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    from jax.sharding import Mesh
+
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map_blocked,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    rng = np.random.default_rng(12)
+    n_frames, n_fg = 48, 10
+    coords = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    forces = rng.normal(size=(n_frames, n_fg, 3)).astype(np.float32)
+    traj = Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces))
+    cmap = LinearMap([[0], [3], [6], [9]], n_fg_sites=n_fg)
+    kw = dict(
+        kbt=0.7, spec=GBFeatSpec(outer=1.5, n_basis=4),
+        constraints={frozenset({1, 2})}, l2_regularization=1.0,
+        n_constraint_frames=10, site_block=1,
+    )
+    single = fused_gb_linear_map_blocked(
+        traj, cmap, constraint_rng=np.random.default_rng(5), **kw
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("siteblocks",))
+    sharded = fused_gb_linear_map_blocked(
+        traj, cmap, constraint_rng=np.random.default_rng(5), mesh=mesh, **kw
+    )
+    _, f_single = single.map_arrays(coords[:16], forces[:16])
+    _, f_sharded = sharded.map_arrays(coords[:16], forces[:16])
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_single), atol=2e-3
+    )

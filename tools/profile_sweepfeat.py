@@ -98,3 +98,41 @@ chol_jit = jax.jit(lambda g: jax.vmap(cholesky_blocked)(
 chol = timed("blocked cholesky (Sb, K, K)", lambda: chol_jit(gram))
 inv_jit = jax.jit(lambda c: jax.vmap(spd_inv_from_chol)(c))
 timed("blocked explicit inverse (Sb, K, K)", lambda: inv_jit(chol))
+
+# --- full site-block program: scan vs Gram-tiled pallas ---------------------
+from aggforce_tpu.qp.fusedfeat import _fit_coefs_siteblock_e2e  # noqa: E402
+
+frame_rng = np.random.default_rng(3)
+frame_idx = jnp.asarray(frame_rng.choice(frames, size=20, replace=False))
+sel = np.zeros((sb, cmap.n_cg_sites), dtype=np.float32)
+sel[np.arange(sb), np.arange(sb)] = 1.0
+common = (
+    jnp.asarray(cmap_np, dtype),
+    *args,
+    kbt,
+    jnp.asarray(1e3, dtype),
+)
+
+from aggforce_tpu.ops.pallas_gram import pallas_site_grams_tiled, pack_operands  # noqa: E402
+
+gpos, cgp, fgp, _, _ = pack_operands(
+    coords_p, forces_p, mask, cmap_blk, args[0], args[1], args[2], kbt,
+    spec.n_basis, args[3],
+)
+jax.block_until_ready((gpos, cgp, fgp))
+g_dim = setup["onehot"].shape[1]
+g_pad = gpos.shape[2]
+kbt_counts = jnp.pad(kbt * jnp.asarray(setup["counts"], dtype), (0, g_pad - g_dim))
+t_blk_pal = 512 if (frames >= 4096 and g_pad <= 1536) else 256
+t_pad_pal = -(-t_pad // t_blk_pal) * t_blk_pal
+timed("tiled pallas gram (Sb sites)", lambda: pallas_site_grams_tiled(
+    gpos, cgp, fgp, mask, args[3], kbt_counts, n_basis=spec.n_basis,
+    width=spec.width, clip=spec.clip, t_block=t_blk_pal))
+
+for up, tp in ((False, t_pad), (True, t_pad_pal)):
+    name = "full block program " + ("(pallas)" if up else "(scan)")
+    timed(name, lambda up=up, tp=tp: _fit_coefs_siteblock_e2e(
+        coords, forces, frame_idx, cmap_blk, jnp.asarray(sel), *common,
+        spec=spec, n_chunks=setup["n_chunks"], t_pad=tp,
+        solver_delta=jnp.asarray(1e-6, dtype), solver_iters=40,
+        use_pallas=up, t_block=t_blk_pal))

