@@ -1214,6 +1214,15 @@ def _prepare_fused_setup(
     }
 
 
+@jax.jit
+def _split_fit_rows(coefs_b):
+    """Split the (B, S, K) batch coefficient stack into B per-fit arrays
+    in ONE device execution: eager ``coefs_b[i]`` slices each dispatch
+    their own program, and on remote-attached devices those B tiny RPCs
+    (~1-2 ms apiece through the tunnel) dominated batched packaging."""
+    return tuple(coefs_b[i] for i in range(coefs_b.shape[0]))
+
+
 def fused_gb_linear_map_batch(
     traj: Trajectory,
     coord_map: LinearMap,
@@ -1309,6 +1318,10 @@ def fused_gb_linear_map_batch(
     device_consts = FusedGBMap.make_device_consts(
         cmap_np, setup["onehot"], setup["centers"]
     )
+    # one shared device kbt: FusedGBMap.__init__'s jnp.asarray(kbt) is a
+    # no-op on an existing device scalar, where a host float would cost a
+    # device_put RPC per packaged map
+    kbt_dev = jnp.asarray(kbt, dtype=dtype)
     package_coord_map = (
         JLinearMap.from_linearmap(coord_map)
         if isinstance(coord_map, LinearMap)
@@ -1376,6 +1389,7 @@ def fused_gb_linear_map_batch(
                 t_block=t_blk,
             )
         fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
+        coefs_rows = _split_fit_rows(coefs_b)
         for i in range(n_valid):
             # decide escalation NOW (same predicate _package_fused_map
             # applies) and fetch the per-fit constraint system to host only
@@ -1394,9 +1408,9 @@ def fused_gb_linear_map_batch(
                 _package_fused_map(
                     coefs_i, resid_i, gram_i, rows_i, b_i,
                     package_coord_map, setup["onehot"],
-                    setup["centers"], kbt, spec, resid_tol,
+                    setup["centers"], kbt_dev, spec, resid_tol,
                     device_consts=device_consts,
-                    coefs_dev=coefs_b[i],
+                    coefs_dev=coefs_rows[i],
                 )
             )
         # drop the window's device buffers before the next dispatch — only
