@@ -1214,6 +1214,55 @@ def _prepare_fused_setup(
     }
 
 
+_FIT_OPERAND_CACHE: dict = {}  # insertion-ordered; LRU via del+reinsert
+_FIT_OPERAND_CACHE_MAX = 8
+_SCALAR_CACHE: dict = {}
+
+
+def _fit_device_operands(cmap_np, group_mean, onehot, counts, centers):
+    """Device-resident copies of the per-system fit constants, memoized by
+    content. Repeated fits over one system (steady-state loops, CV grids,
+    bootstrap batches) otherwise re-upload ~5 small host arrays per call,
+    and on remote-attached devices each device_put is its own ~1-2 ms RPC
+    — more transport than the solve itself. Returns
+    (cmap, group_mean, onehot, counts, centers) as f32 device arrays.
+    """
+    cmap_np = np.asarray(cmap_np, dtype=np.float32)
+    onehot = np.asarray(onehot, dtype=np.float32)
+    centers = np.asarray(centers, dtype=np.float32)
+    key = (
+        cmap_np.tobytes(), onehot.tobytes(), centers.tobytes(),
+        cmap_np.shape, onehot.shape,
+    )
+    hit = _FIT_OPERAND_CACHE.pop(key, None)
+    if hit is not None:
+        _FIT_OPERAND_CACHE[key] = hit  # reinsert = most-recently-used
+        return hit
+    dtype = jnp.float32
+    val = (
+        jnp.asarray(cmap_np, dtype=dtype),
+        jnp.asarray(group_mean, dtype=dtype),
+        jnp.asarray(onehot, dtype=dtype),
+        jnp.asarray(counts, dtype=dtype),
+        jnp.asarray(centers, dtype=dtype),
+    )
+    _FIT_OPERAND_CACHE[key] = val
+    while len(_FIT_OPERAND_CACHE) > _FIT_OPERAND_CACHE_MAX:
+        del _FIT_OPERAND_CACHE[next(iter(_FIT_OPERAND_CACHE))]
+    return val
+
+
+def _device_scalar(x) -> jax.Array:
+    """Memoized f32 device scalar (kbt / l2 / delta re-upload per fit)."""
+    key = float(x)
+    val = _SCALAR_CACHE.get(key)
+    if val is None:
+        if len(_SCALAR_CACHE) >= 64:
+            _SCALAR_CACHE.clear()
+        val = _SCALAR_CACHE.setdefault(key, jnp.asarray(key, dtype=jnp.float32))
+    return val
+
+
 @jax.jit
 def _split_fit_rows(coefs_b):
     """Split the (B, S, K) batch coefficient stack into B per-fit arrays
@@ -1297,14 +1346,20 @@ def fused_gb_linear_map_batch(
             ),
             sharding,
         )
+    cmap_dev, gmean_dev, onehot_dev, counts_dev, centers_dev = (
+        _fit_device_operands(
+            coord_map.standard_matrix, setup["group_mean"],
+            setup["onehot"], setup["counts"], setup["centers"],
+        )
+    )
     common = (
-        jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-        jnp.asarray(setup["group_mean"], dtype=dtype),
-        jnp.asarray(setup["onehot"], dtype=dtype),
-        jnp.asarray(setup["counts"], dtype=dtype),
-        jnp.asarray(setup["centers"], dtype=dtype),
-        jnp.asarray(kbt, dtype=dtype),
-        jnp.asarray(l2_regularization, dtype=dtype),
+        cmap_dev,
+        gmean_dev,
+        onehot_dev,
+        counts_dev,
+        centers_dev,
+        _device_scalar(kbt),
+        _device_scalar(l2_regularization),
     )
     maps = []
     window = max(1, int(flush_every))
@@ -1314,14 +1369,12 @@ def fused_gb_linear_map_batch(
     # ms/fit measured through the remote-attach tunnel)
     from ..map import JLinearMap
 
-    cmap_np = np.asarray(coord_map.standard_matrix, dtype=np.float32)
-    device_consts = FusedGBMap.make_device_consts(
-        cmap_np, setup["onehot"], setup["centers"]
-    )
-    # one shared device kbt: FusedGBMap.__init__'s jnp.asarray(kbt) is a
-    # no-op on an existing device scalar, where a host float would cost a
-    # device_put RPC per packaged map
-    kbt_dev = jnp.asarray(kbt, dtype=dtype)
+    # packaging constants = the same memoized device operands (FusedGBMap
+    # unpacks (cmap, onehot, counts, group_mean, centers)); one shared
+    # device kbt — FusedGBMap.__init__'s jnp.asarray(kbt) is then a no-op
+    # where a host float would cost a device_put RPC per packaged map
+    device_consts = (cmap_dev, onehot_dev, counts_dev, gmean_dev, centers_dev)
+    kbt_dev = _device_scalar(kbt)
     package_coord_map = (
         JLinearMap.from_linearmap(coord_map)
         if isinstance(coord_map, LinearMap)
@@ -1479,6 +1532,15 @@ def fused_gb_linear_map(
 
     dtype = jnp.float32
 
+    # per-system constants as memoized device operands: fits over one
+    # system re-upload nothing but the sampled constraint frames
+    cmap_dev, gmean_dev, onehot_dev, counts_dev, centers_dev = (
+        _fit_device_operands(
+            coord_map.standard_matrix, group_mean, onehot, counts, centers
+        )
+    )
+    device_consts = (cmap_dev, onehot_dev, counts_dev, gmean_dev, centers_dev)
+    kbt_dev = _device_scalar(kbt)
     if mesh is None:
         # single-device: the whole fit (pad, mask, constraint-frame gather,
         # Gram, batched solve) is ONE program and one dispatch
@@ -1488,24 +1550,25 @@ def fused_gb_linear_map(
             jnp.asarray(traj.coords),
             jnp.asarray(traj.forces),
             jnp.asarray(frame_idx),
-            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-            jnp.asarray(group_mean, dtype=dtype),
-            jnp.asarray(onehot, dtype=dtype),
-            jnp.asarray(counts, dtype=dtype),
-            jnp.asarray(centers, dtype=dtype),
-            jnp.asarray(kbt, dtype=dtype),
-            jnp.asarray(l2_regularization, dtype=dtype),
+            cmap_dev,
+            gmean_dev,
+            onehot_dev,
+            counts_dev,
+            centers_dev,
+            kbt_dev,
+            _device_scalar(l2_regularization),
             spec,
             n_chunks,
             t_pad,
-            jnp.asarray(solver_delta, dtype=dtype),
+            _device_scalar(solver_delta),
             solver_iters,
             use_pallas,
             t_block=t_blk,
         )
         return _package_fused_map(
             coefs, solver_resid, gram, a_rows, b, coord_map, onehot,
-            centers, kbt, spec, resid_tol,
+            centers, kbt_dev, spec, resid_tol,
+            device_consts=device_consts,
         )
 
     # --- mesh (multi-device) staging: shard the padded frame axis ---
@@ -1550,16 +1613,16 @@ def fused_gb_linear_map(
         forces_dev,
         mask_dev,
         constr_coords,
-        jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-        jnp.asarray(group_mean, dtype=dtype),
-        jnp.asarray(onehot, dtype=dtype),
-        jnp.asarray(counts, dtype=dtype),
-        jnp.asarray(centers, dtype=dtype),
-        jnp.asarray(kbt, dtype=dtype),
-        jnp.asarray(l2_regularization, dtype=dtype),
+        cmap_dev,
+        gmean_dev,
+        onehot_dev,
+        counts_dev,
+        centers_dev,
+        kbt_dev,
+        _device_scalar(l2_regularization),
         spec,
         n_chunks,
-        jnp.asarray(solver_delta, dtype=dtype),
+        _device_scalar(solver_delta),
         solver_iters,
         fit_pallas,
         mesh=fit_mesh,
@@ -1567,7 +1630,8 @@ def fused_gb_linear_map(
     )
     return _package_fused_map(
         coefs, solver_resid, gram, a_rows, b, coord_map, onehot, centers,
-        kbt, spec, resid_tol,
+        kbt_dev, spec, resid_tol,
+        device_consts=device_consts,
     )
 
 
