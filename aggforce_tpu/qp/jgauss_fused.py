@@ -201,11 +201,16 @@ def staged_gauss_fused(
     if constraints is None:
         constraints = set()
 
+    from ..utils.devcache import device_const, device_scalar
+
     dtype = jnp.float32
     n = coord_map.n_fg_sites
     s = coord_map.n_cg_sites
     labels_np, r = constraint_labels(n, constraints)
-    cmap_dev = jnp.asarray(coord_map.standard_matrix, dtype)
+    # constants memoized by content: repeat pipelines over one system
+    # re-upload only the RNG key (each device_put is an RPC through
+    # remote-attached tunnels)
+    cmap_dev = device_const(coord_map.standard_matrix)
 
     # the piecewise path's augmenter does exactly one key split per
     # augmentation; reproduce it so draws coincide
@@ -215,7 +220,7 @@ def staged_gauss_fused(
     _, subkey = jrandom.split(rkey)
 
     fmap1_in = (
-        jnp.asarray(force_map.standard_matrix, dtype)
+        device_const(force_map.standard_matrix)
         if force_map is not None
         else None
     )
@@ -233,12 +238,12 @@ def staged_gauss_fused(
         forces_dev,
         subkey,
         cmap_dev,
-        jnp.asarray(labels_np),
+        device_const(labels_np, dtype=labels_np.dtype),
         fmap1_in,
-        jnp.asarray(var, dtype),
-        jnp.asarray(kbt, dtype),
-        jnp.asarray(premap_l2_regularization, dtype),
-        jnp.asarray(l2_regularization, dtype),
+        device_scalar(var),
+        device_scalar(kbt),
+        device_scalar(premap_l2_regularization),
+        device_scalar(l2_regularization),
         r=r,
         n_aug=s,
         zero_stage2=zero_stage2,

@@ -237,11 +237,13 @@ def qp_linear_map(
         pad = chunk * n_chunks - t
         if pad:
             forces_dev = jnp.pad(forces_dev, ((0, pad), (0, 0), (0, 0)))
+        from ..utils.devcache import device_const, device_scalar
+
         fmap_dev, resid_dev = _device_linear_fit(
             forces_dev,
-            jnp.asarray(labels),
-            jnp.asarray(coord_map.standard_matrix, dtype=dtype),
-            jnp.asarray(l2_regularization, dtype=dtype),
+            device_const(labels, dtype=np.asarray(labels).dtype),
+            device_const(coord_map.standard_matrix, dtype=dtype),
+            device_scalar(l2_regularization, dtype=dtype),
             n_chunks=n_chunks,
             r=reduced_n,
         )

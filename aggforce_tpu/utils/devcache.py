@@ -1,0 +1,50 @@
+"""Content-keyed caches for small device-resident constants.
+
+On remote-attached devices every ``device_put`` is its own RPC with a
+~1-2 ms floor, so repeatedly fitting over one system pays more transport
+re-uploading its constant matrices and scalars than it does computing.
+These helpers memoize small host constants by content so repeat calls
+reuse the device buffer. Intended for SMALL arrays (maps, labels,
+centers — the key hashes the full buffer); never route trajectories
+through here.
+
+No reference counterpart: the reference's in-process CUDA devices make
+uploads nanosecond-scale (reference qp/qplinear.py simply rebuilds its
+operands per solve).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CONST_CACHE: dict = {}  # insertion-ordered; LRU via pop+reinsert
+_CONST_CACHE_MAX = 32
+_SCALAR_CACHE: dict = {}
+_SCALAR_CACHE_MAX = 128
+
+
+def device_const(arr, dtype: Optional[np.dtype] = np.float32) -> jax.Array:
+    """Device-resident copy of a small host constant, memoized by content."""
+    host = np.asarray(arr, dtype=dtype)
+    key = (host.tobytes(), host.shape, str(host.dtype))
+    hit = _CONST_CACHE.pop(key, None)
+    if hit is not None:
+        _CONST_CACHE[key] = hit  # reinsert = most-recently-used
+        return hit
+    val = jnp.asarray(host)
+    _CONST_CACHE[key] = val
+    while len(_CONST_CACHE) > _CONST_CACHE_MAX:
+        del _CONST_CACHE[next(iter(_CONST_CACHE))]
+    return val
+
+
+def device_scalar(x, dtype=jnp.float32) -> jax.Array:
+    """Memoized device scalar (fit hyperparameters re-uploaded per call)."""
+    key = (float(x), str(dtype))
+    val = _SCALAR_CACHE.get(key)
+    if val is None:
+        if len(_SCALAR_CACHE) >= _SCALAR_CACHE_MAX:
+            _SCALAR_CACHE.clear()
+        val = _SCALAR_CACHE.setdefault(key, jnp.asarray(float(x), dtype=dtype))
+    return val
