@@ -41,7 +41,7 @@ def device_const(arr, dtype: Optional[np.dtype] = np.float32) -> jax.Array:
 
 def device_scalar(x, dtype=jnp.float32) -> jax.Array:
     """Memoized device scalar (fit hyperparameters re-uploaded per call)."""
-    key = (float(x), str(dtype))
+    key = (float(x), np.dtype(dtype).str)
     val = _SCALAR_CACHE.get(key)
     if val is None:
         if len(_SCALAR_CACHE) >= _SCALAR_CACHE_MAX:
