@@ -122,7 +122,13 @@ class JLinearMap(LinearMap):
         """Initialize; extra args forwarded to LinearMap."""
         super().__init__(*args, **kwargs)
         self.bypass_nan_check = bypass_nan_check
-        self._jax_standard_matrix = jnp.asarray(self.standard_matrix)
+        # content-memoized: noised-map builders construct a fresh JLinearMap
+        # per fit, and each eager upload of the same matrix is a device_put
+        # RPC on remote-attached devices (utils/devcache.py)
+        from ..utils.devcache import device_const
+
+        host_mat = np.asarray(self.standard_matrix)
+        self._jax_standard_matrix = device_const(host_mat, dtype=host_mat.dtype)
 
     @property
     def jax_standard_matrix(self) -> jax.Array:

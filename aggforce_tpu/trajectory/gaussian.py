@@ -86,8 +86,12 @@ def _linear_flatcall_matrix(
     if owner.handle_nans and not getattr(owner, "bypass_nan_check", False):
         return None
     dev = getattr(owner, "_jax_standard_matrix", None)  # JLinearMap: reuse
-    mat = dev if dev is not None else jnp.asarray(owner.standard_matrix)
-    return mat, bool(owner.handle_nans)
+    if dev is None:
+        from ..utils.devcache import device_const
+
+        host = np.asarray(owner.standard_matrix)
+        dev = device_const(host, dtype=host.dtype)
+    return dev, bool(owner.handle_nans)
 
 
 def _linear_map_matrix(postmap: Callable) -> Optional[Tuple[jax.Array, bool]]:
@@ -459,7 +463,9 @@ class JCondNormal(Augmenter):
         use_mat = self.premap is _ident or self._premap_mat is not None
         self._rkey, subkey = jrandom.split(self._rkey)
         if self._scalar_cov:
-            var = jnp.asarray(self._cov, dtype=self._jdtype)
+            from ..utils.devcache import device_scalar
+
+            var = device_scalar(self._cov, dtype=self._jdtype)
             if use_mat:
                 if src.ndim != 3 or src.shape[-1] != self.n_dim:
                     raise ValueError(
@@ -511,10 +517,12 @@ class JCondNormal(Augmenter):
         )  # anything else falls to the legacy path, which validates/raises
         if use_mat and rank3:
             if self._scalar_cov:
+                from ..utils.devcache import device_scalar
+
                 src_grad3, gen_grad3 = _mat_lgrads(
                     src3,
                     gen3,
-                    jnp.asarray(self._cov, dtype=self._jdtype),
+                    device_scalar(self._cov, dtype=self._jdtype),
                     self._premap_mat,
                     pfill=self._premap_fill,
                 )
@@ -528,10 +536,12 @@ class JCondNormal(Augmenter):
             flat_source = self._flatten(src3)
             flat_generated = self._flatten(gen3)
             if self._scalar_cov:
+                from ..utils.devcache import device_scalar
+
                 src_grad, gen_grad = _scalar_lgrads(
                     flat_source,
                     flat_generated,
-                    jnp.asarray(self._cov, dtype=self._jdtype),
+                    device_scalar(self._cov, dtype=self._jdtype),
                     self.premap,
                 )
             else:
