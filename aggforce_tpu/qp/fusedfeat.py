@@ -210,7 +210,7 @@ def _scan_gram(
 
     gram0 = jnp.zeros((s_dim, k_exp, k_exp), dtype=coords.dtype)
     if vary_axis is not None:
-        gram0 = jax.lax.pvary(gram0, (vary_axis,))
+        gram0 = jax.lax.pcast(gram0, (vary_axis,), to="varying")
     gram, _ = jax.lax.scan(body, gram0, (coords_c, forces_c, mask_c))
     return gram
 
