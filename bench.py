@@ -475,6 +475,52 @@ def _emit(metric: str, value: float, extra=None) -> None:
     print(json.dumps(out))
 
 
+def _device_watchdog() -> None:
+    """Fail loudly (one attributed JSON line) when the device never answers.
+
+    The axon tunnel occasionally goes down for extended windows; a bench
+    process then hangs forever inside the first ``jax.devices()`` RPC and
+    leaves NO artifact for the round. This daemon thread requires the
+    backend probe to succeed within ``BENCH_DEVICE_TIMEOUT`` seconds
+    (default 900 — generous enough for a merely-degraded tunnel, where
+    device listing still answers in seconds) or emits an error-attributed
+    JSON line and exits. Timings of successful runs are unaffected: the
+    probe runs concurrently with main()'s own first device use.
+    """
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900"))
+    if timeout_s <= 0:
+        return
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+
+    def watch():
+        if not ok.wait(timeout_s):
+            _emit(
+                "featurized_qp_fit_frames_per_sec_per_chip",
+                0.0,
+                extra={
+                    "error": "device_unreachable",
+                    "detail": (
+                        f"jax.devices() did not answer within {timeout_s:.0f}s"
+                        " — accelerator tunnel down; no measurement possible"
+                    ),
+                },
+            )
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def run_static() -> None:
     """Config #1: CLN025 static optimal linear map (constrained LS)."""
     n_frames = int(os.environ.get("BENCH_FRAMES", "10000"))
@@ -807,6 +853,7 @@ def main() -> None:
     _enable_compile_cache()
     _meter_compile_rpcs()
     _trace_cache_accesses()
+    _device_watchdog()
     mode = os.environ.get("BENCH_MODE", "").lower()
     runners = {
         "": run_featurized,
