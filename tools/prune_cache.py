@@ -27,6 +27,12 @@ for path in sys.argv[1:]:
                 keys.add(parts[0])
 
 delete = "--delete" in sys.argv
+if delete and len(keys) < 10:
+    sys.exit(
+        f"refusing --delete with only {len(keys)} traced keys — the trace "
+        "looks incomplete (a bench run that aborted before fitting traces "
+        "nothing and would prune the whole cache); run the workloads first"
+    )
 keep, drop = [], []
 for fname in sorted(os.listdir(cache_dir)):
     full = os.path.join(cache_dir, fname)
