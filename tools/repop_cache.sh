@@ -25,14 +25,15 @@ run() {
   echo "=== $name rc=$? end $(date) ===" >> /tmp/repop_progress.log
 }
 
-# default featurized: first run compiles/repopulates, second measures warm
+# Headline (featurized) entries FIRST so an interrupted repop still leaves
+# the north-star path warm: first run compiles/repopulates, second measures
+# warm, third is the fresh-process warm end-to-end check.
 run feat1
 run feat2
+run feat3
 run static BENCH_MODE=static
 run gauss BENCH_MODE=gauss
 run cv BENCH_MODE=cv
 run sweep BENCH_MODE=sweep
 run sweepfeat BENCH_MODE=sweep BENCH_SWEEP_FEAT=1
-# fresh-process warm end-to-end check (the north-star number)
-run feat3
 echo "ALL DONE $(date)" >> /tmp/repop_progress.log
