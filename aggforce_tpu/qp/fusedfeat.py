@@ -1441,8 +1441,11 @@ def fused_gb_linear_map_batch(
                 setup["use_pallas"],
                 t_block=t_blk,
             )
-        fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
+        # dispatch the (async) per-fit split BEFORE the blocking fetch so
+        # its RPC rides the same tunnel wait; packaging only holds the row
+        # handles, never syncs on them
         coefs_rows = _split_fit_rows(coefs_b)
+        fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
         for i in range(n_valid):
             # decide escalation NOW (same predicate _package_fused_map
             # applies) and fetch the per-fit constraint system to host only
