@@ -1381,7 +1381,8 @@ def fused_gb_linear_map_batch(
         and not isinstance(coord_map, JLinearMap)
         else coord_map
     )
-    for lo in range(0, len(seeds), window):
+    def _dispatch_window(lo):
+        """Dispatch one window's fit program (async) and return its handles."""
         chunk_seeds = seeds[lo : lo + window]
         idx = np.stack(
             [
@@ -1441,10 +1442,15 @@ def fused_gb_linear_map_batch(
                 setup["use_pallas"],
                 t_block=t_blk,
             )
-        # dispatch the (async) per-fit split BEFORE the blocking fetch so
+        # dispatch the (async) per-fit split BEFORE any blocking fetch so
         # its RPC rides the same tunnel wait; packaging only holds the row
         # handles, never syncs on them
         coefs_rows = _split_fit_rows(coefs_b)
+        return n_valid, coefs_b, resid_b, gram, rows_b, b_b, coefs_rows
+
+    def _package_window(pending):
+        """Sync one dispatched window and package its maps (in seed order)."""
+        n_valid, coefs_b, resid_b, gram, rows_b, b_b, coefs_rows = pending
         fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
         for i in range(n_valid):
             # decide escalation NOW (same predicate _package_fused_map
@@ -1469,10 +1475,25 @@ def fused_gb_linear_map_batch(
                     coefs_dev=coefs_rows[i],
                 )
             )
-        # drop the window's device buffers before the next dispatch — only
-        # the fetched coefficients (plus each map's own (S, K) coefficient
-        # slice, ~25 KB) survive in the packaged maps
-        del coefs_b, resid_b, gram, rows_b, b_b
+        # drop the window's device buffers — only the fetched coefficients
+        # (plus each map's own (S, K) coefficient slice, ~25 KB) survive in
+        # the packaged maps
+        del coefs_b, resid_b, gram, rows_b, b_b, coefs_rows
+
+    # one-window software pipeline: window w+1's program is dispatched
+    # before window w is fetched/packaged, so the fetch payload and host
+    # packaging of w overlap w+1's device compute. Costs one extra window
+    # of live output buffers (the (B, S, m, K) constraint systems — freed
+    # one window later than a serial loop); multi-window (bootstrap) runs
+    # become program-bound instead of paying fetch+packaging per window.
+    pending = None
+    for lo in range(0, len(seeds), window):
+        current = _dispatch_window(lo)
+        if pending is not None:
+            _package_window(pending)
+        pending = current
+    if pending is not None:
+        _package_window(pending)
     return maps
 
 
