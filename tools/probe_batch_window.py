@@ -55,6 +55,31 @@ for w in windows:
         f"{['%.3f' % x for x in times]}"
     )
 
+# --- multi-window pipelined timing: the one-window software pipeline
+# overlaps window w's fetch+packaging with window w+1's device compute,
+# so many-seed (bootstrap) runs should approach program-only ms/fit ---
+N_WINDOWS = int(os.environ.get("PROBE_N_WINDOWS", "4"))
+for w in windows:
+    common = dict(
+        kbt=kbt, spec=spec, constraints=constraints,
+        l2_regularization=1e3, chunk_size=2048, flush_every=w,
+    )
+    n = N_WINDOWS * w
+    fused_gb_linear_map_batch(traj, cmap, seeds=range(900, 900 + w), **common)
+    times = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        fused_gb_linear_map_batch(
+            traj, cmap, seeds=range(rep * n, (rep + 1) * n), **common
+        )
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    print(
+        f"pipelined {N_WINDOWS}x window {w:3d}: {t:7.3f}s  "
+        f"({t / n * 1e3:6.2f} ms/fit, {n * frames / t:9.0f} frames/s)  "
+        f"runs={['%.3f' % x for x in times]}"
+    )
+
 # --- device-program-only timing (isolates wrapper/host-side per-fit cost) ---
 import jax
 import jax.numpy as jnp
