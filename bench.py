@@ -746,6 +746,13 @@ def run_featurized() -> None:
     # sweet spot (5.97 ms/fit vs 13.0 at 16; tools/probe_batch_window.py)
     # now that packaging shares one set of device constants per window.
     n_batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # BENCH_WINDOWS windows per timed call: the wrapper's one-window
+    # software pipeline overlaps window w's fetch+packaging with window
+    # w+1's device compute, so the per-fit cost of a many-seed run is the
+    # window program amortized once — this is the production bootstrap
+    # shape (window-aligned: no padded tail solves)
+    n_windows = max(1, int(os.environ.get("BENCH_WINDOWS", "4")))
+    n_seeds = n_windows * n_batch
     # untimed warm call: loading/compiling the batch executable happens
     # here, so the timed call below measures steady-state batch throughput
     fused_gb_linear_map_batch(
@@ -758,15 +765,17 @@ def run_featurized() -> None:
         t0 = time.perf_counter()
         fused_gb_linear_map_batch(
             traj, cmap, kbt=kbt, spec=spec,
-            seeds=range(200 + rep * n_batch, 200 + (rep + 1) * n_batch),
+            seeds=range(1000 + rep * n_seeds, 1000 + (rep + 1) * n_seeds),
             constraints=constraints, l2_regularization=1e3, chunk_size=2048,
             flush_every=n_batch,
         )
         batch_times.append(time.perf_counter() - t0)
     t_batch = min(batch_times)
-    pipelined = n_batch * n_frames / t_batch
-    log(f"pipelined batch of {n_batch} fits: {t_batch:.3f}s "
-        f"({t_batch / n_batch * 1e3:.1f} ms/fit, {pipelined:.0f} frames/s)")
+    pipelined = n_seeds * n_frames / t_batch
+    t_per_fit_wall = t_batch / n_seeds
+    log(f"pipelined batch of {n_seeds} fits ({n_windows}x{n_batch}-fit "
+        f"windows): {t_batch:.3f}s ({t_per_fit_wall * 1e3:.1f} ms/fit, "
+        f"{pipelined:.0f} frames/s)")
 
     # sanity: mapped forces finite, orthogonality approximately satisfied
     sub = slice(0, 256)
@@ -784,8 +793,7 @@ def run_featurized() -> None:
     tflops = flops_useful / elapsed / 1e12
     from aggforce_tpu.utils.prof import device_peaks
 
-    t_per_fit = t_batch / n_batch
-    batch_tflops = flops_useful / t_per_fit / 1e12
+    batch_tflops = flops_useful / t_per_fit_wall / 1e12
     peaks = device_peaks()
     if peaks is None:
         mfu = batch_mfu = None
