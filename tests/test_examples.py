@@ -73,3 +73,11 @@ def test_multihost_sweep_demo():
     proc = _run("multihost_sweep.py", "--demo")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "multihost sweep demo OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_bootstrap_example():
+    proc = _run("bootstrap.py", "--n-maps", "4", "--window", "2")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "coefficient spread" in proc.stdout
+    assert "mean squared mapped force" in proc.stdout
