@@ -389,10 +389,11 @@ def _pallas_mesh_fit_parts(
         mesh=mesh,
         in_specs=(P("frames"), P("frames"), P("frames")),
         out_specs=P(),
-        # pallas_call outputs do not carry varying-mesh-axis metadata yet,
-        # so shard_map's varying-axis checking must be bypassed for this
-        # program. The safety net it would provide (catching a missing
-        # psum) is pinned instead by
+        # CHECK_VMA_REGISTRY (1/2 — see ARCHITECTURE.md "check_vma=False
+        # registry"): pallas_call outputs do not carry varying-mesh-axis
+        # metadata yet, so shard_map's varying-axis checking must be
+        # bypassed for this program. The safety net it would provide
+        # (catching a missing psum) is pinned instead by
         # tests/test_parallel.py::test_sharded_pallas_feat_fit_matches_single_device,
         # which runs this exact path at 8 shards against the single-device
         # result. Re-enable once Mosaic propagates vma metadata.
@@ -988,9 +989,10 @@ def _fit_coefs_siteblock_mesh(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        # pallas_call outputs do not carry varying-mesh-axis metadata yet
-        # (same situation as _pallas_mesh_fit_parts); there is no psum to
-        # miss here — the shards are fully independent — and
+        # CHECK_VMA_REGISTRY (2/2 — see ARCHITECTURE.md "check_vma=False
+        # registry"): pallas_call outputs do not carry varying-mesh-axis
+        # metadata yet (same situation as _pallas_mesh_fit_parts); there is
+        # no psum to miss here — the shards are fully independent — and
         # tests/test_featlinear.py pins mesh-vs-single parity
         check_vma=False,
     )(cmap_blocks, site_sels)
@@ -1071,7 +1073,54 @@ def _fit_coefs_batch_e2e(
         gram, rows_b, b_b[..., None], delta=solver_delta,
         iters=solver_iters, return_resid=True,
     )
-    return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
+    return _batch_fit_outputs(coefs_b[..., 0], resid_fs, gram)
+
+
+def _batch_fit_outputs(coefs_b, resid_fs, gram):
+    """Shape the batch programs' outputs for transport-free packaging.
+
+    Returns (per-fit coefficient slices, per-fit max residual, per-fit
+    finiteness flag, gram) — all still on device. Three choices matter on
+    remote-attached devices:
+
+      * the escalation predicate's finiteness check runs ON DEVICE, so the
+        host sync fetches two (B,)-vectors (~0.5 KB) instead of the whole
+        (B, S, K_exp) coefficient stack (~2 MB per 64-fit window);
+      * the (B, S, m, K_exp) constraint systems are NOT outputs — at
+        window scale they pinned ~hundreds of MB of HBM per in-flight
+        window; escalating fits (rare) recompute theirs via
+        :func:`_constraint_system_e2e`;
+      * coefficients come out pre-split per fit (the split used to be its
+        own dispatch RPC per window).
+    """
+    finite_b = jnp.isfinite(coefs_b).all(axis=(1, 2))
+    coefs_rows = tuple(coefs_b[i] for i in range(coefs_b.shape[0]))
+    return coefs_rows, jnp.max(resid_fs, axis=1), finite_b, gram
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _constraint_system_e2e(
+    coords: jax.Array,  # (T, N, 3) — unpadded device trajectory
+    frame_idx: jax.Array,  # (F,) one fit's constraint-frame indices
+    cmap_mat: jax.Array,
+    group_mean: jax.Array,
+    onehot: jax.Array,
+    counts: jax.Array,
+    centers: jax.Array,
+    spec: GBFeatSpec,
+):
+    """One fit's constraint system (gather + assembly) as one program.
+
+    The batch programs no longer output their (B, S, m, K_exp) constraint
+    systems (see :func:`_batch_fit_outputs`); the float64 escalation of a
+    failed fit recomputes exactly the system its solve used — the same
+    f32 assembly arithmetic on the same sampled frames.
+    """
+    constr_coords = coords[frame_idx].astype(jnp.float32)
+    return _assemble_constraint_system(
+        constr_coords, cmap_mat, group_mean, onehot, counts, centers, spec,
+        jnp.float32,
+    )
 
 
 @partial(
@@ -1136,7 +1185,7 @@ def _fit_coefs_batch_mesh(
         gram, rows_b, b_b[..., None], mesh=mesh, delta=solver_delta,
         iters=solver_iters, return_resid=True,
     )
-    return coefs_b[..., 0], jnp.max(resid_fs, axis=1), gram, rows_b, b_b
+    return _batch_fit_outputs(coefs_b[..., 0], resid_fs, gram)
 
 
 def group_factorization(
@@ -1214,11 +1263,6 @@ def _prepare_fused_setup(
     }
 
 
-_FIT_OPERAND_CACHE: dict = {}  # insertion-ordered; LRU via del+reinsert
-_FIT_OPERAND_CACHE_MAX = 8
-_SCALAR_CACHE: dict = {}
-
-
 def _fit_device_operands(cmap_np, group_mean, onehot, counts, centers):
     """Device-resident copies of the per-system fit constants, memoized by
     content. Repeated fits over one system (steady-state loops, CV grids,
@@ -1226,50 +1270,106 @@ def _fit_device_operands(cmap_np, group_mean, onehot, counts, centers):
     and on remote-attached devices each device_put is its own ~1-2 ms RPC
     — more transport than the solve itself. Returns
     (cmap, group_mean, onehot, counts, centers) as f32 device arrays.
+
+    Thin wrapper over :func:`aggforce_tpu.utils.devcache.device_const` —
+    ONE content-keyed cache implementation for the whole package (each
+    array is memoized individually under the shared LRU).
     """
-    cmap_np = np.asarray(cmap_np, dtype=np.float32)
-    onehot = np.asarray(onehot, dtype=np.float32)
-    centers = np.asarray(centers, dtype=np.float32)
-    key = (
-        cmap_np.tobytes(), onehot.tobytes(), centers.tobytes(),
-        cmap_np.shape, onehot.shape,
+    from ..utils.devcache import device_const
+
+    return (
+        device_const(cmap_np, dtype=np.float32),
+        device_const(group_mean, dtype=np.float32),
+        device_const(onehot, dtype=np.float32),
+        device_const(counts, dtype=np.float32),
+        device_const(centers, dtype=np.float32),
     )
-    hit = _FIT_OPERAND_CACHE.pop(key, None)
-    if hit is not None:
-        _FIT_OPERAND_CACHE[key] = hit  # reinsert = most-recently-used
-        return hit
-    dtype = jnp.float32
-    val = (
-        jnp.asarray(cmap_np, dtype=dtype),
-        jnp.asarray(group_mean, dtype=dtype),
-        jnp.asarray(onehot, dtype=dtype),
-        jnp.asarray(counts, dtype=dtype),
-        jnp.asarray(centers, dtype=dtype),
-    )
-    _FIT_OPERAND_CACHE[key] = val
-    while len(_FIT_OPERAND_CACHE) > _FIT_OPERAND_CACHE_MAX:
-        del _FIT_OPERAND_CACHE[next(iter(_FIT_OPERAND_CACHE))]
-    return val
 
 
 def _device_scalar(x) -> jax.Array:
     """Memoized f32 device scalar (kbt / l2 / delta re-upload per fit)."""
-    key = float(x)
-    val = _SCALAR_CACHE.get(key)
-    if val is None:
-        if len(_SCALAR_CACHE) >= 64:
-            _SCALAR_CACHE.clear()
-        val = _SCALAR_CACHE.setdefault(key, jnp.asarray(key, dtype=jnp.float32))
-    return val
+    from ..utils.devcache import device_scalar
+
+    return device_scalar(x, dtype=jnp.float32)
 
 
-@jax.jit
-def _split_fit_rows(coefs_b):
-    """Split the (B, S, K) batch coefficient stack into B per-fit arrays
-    in ONE device execution: eager ``coefs_b[i]`` slices each dispatch
-    their own program, and on remote-attached devices those B tiny RPCs
-    (~1-2 ms apiece through the tunnel) dominated batched packaging."""
-    return tuple(coefs_b[i] for i in range(coefs_b.shape[0]))
+class _LazyCoefTags(dict):
+    """Tags dict whose ``coef_list`` materializes from the still-on-device
+    coefficients on first read access.
+
+    The batched fit's remaining per-window host transfer would be the
+    (B, S, K_exp) coefficient fetch (~2 MB per 64-fit window, plus a sync
+    RPC, through remote-attach tunnels); most consumers — bootstrap
+    pipelines that re-apply maps on device — never read ``coef_list``, so
+    the fetch is deferred until something actually asks for the host
+    arrays. All read accessors (including iteration/len/contains, so the
+    dict is indistinguishable from an eager one) materialize first;
+    after that this behaves as a plain dict holding numpy rows, matching
+    the reference's eager ``coef_list`` tag (reference
+    qp/featlinearmap.py:391).
+    """
+
+    def __init__(self, coefs_dev, base: dict) -> None:
+        super().__init__(base)
+        self._coefs_dev = coefs_dev
+
+    def _materialize(self) -> None:
+        dev = self.__dict__.get("_coefs_dev")
+        if dev is not None:
+            super().__setitem__("coef_list", list(np.asarray(dev)))
+            self._coefs_dev = None
+
+    def __getitem__(self, key):
+        if key == "coef_list":
+            self._materialize()
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if key == "coef_list":
+            self._materialize()
+        return super().get(key, default)
+
+    def __contains__(self, key) -> bool:
+        if key == "coef_list":
+            self._materialize()
+        return super().__contains__(key)
+
+    def __iter__(self):
+        self._materialize()
+        return super().__iter__()
+
+    def __len__(self) -> int:
+        self._materialize()
+        return super().__len__()
+
+    def keys(self):
+        self._materialize()
+        return super().keys()
+
+    def items(self):
+        self._materialize()
+        return super().items()
+
+    def values(self):
+        self._materialize()
+        return super().values()
+
+    def copy(self):
+        self._materialize()
+        return dict(super().items())
+
+    def __repr__(self) -> str:
+        self._materialize()
+        return super().__repr__()
+
+    def __eq__(self, other) -> bool:
+        self._materialize()
+        return super().__eq__(other)
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+    __hash__ = None  # mutable mapping, same as dict
 
 
 def fused_gb_linear_map_batch(
@@ -1295,11 +1395,14 @@ def fused_gb_linear_map_batch(
     trajectory-sized, MXU-bound stage) is identical across seeds, so each
     window of ``flush_every`` seeds dispatches ONE program that computes
     the Gram once and vmaps only the per-seed constraint assemblies and
-    solves (:func:`_fit_coefs_batch_e2e`), then fetches all coefficients +
-    residuals in one host sync. The marginal fit therefore costs a tiny
-    batched solve instead of a full Gram pass plus a dispatch round-trip.
-    ``flush_every`` bounds live HBM (each window holds its B x per-site
-    constraint systems until packaged). Use cases: bootstrap uncertainty
+    solves (:func:`_fit_coefs_batch_e2e`), then syncs on ~0.5 KB of
+    per-fit residuals + device-computed finiteness flags — coefficients
+    stay on device inside the packaged maps (fetched lazily on first
+    ``coef_list`` access). The marginal fit therefore costs a tiny batched
+    solve instead of a full Gram pass plus a dispatch round-trip.
+    ``flush_every`` bounds the solve's working set (the per-window
+    (B, S, m, K) constraint systems live only inside the program; they are
+    not outputs). Use cases: bootstrap uncertainty
     over the sampled orthogonality frames, or simply fitting many maps
     fast. Returns a list of CLAFTMaps (one per seed), each
     convergence-checked exactly like :func:`fused_gb_linear_map`.
@@ -1381,6 +1484,8 @@ def fused_gb_linear_map_batch(
         and not isinstance(coord_map, JLinearMap)
         else coord_map
     )
+    cmap_np = np.asarray(coord_map.standard_matrix, dtype=np.float32)
+
     def _dispatch_window(lo):
         """Dispatch one window's fit program (async) and return its handles."""
         chunk_seeds = seeds[lo : lo + window]
@@ -1398,14 +1503,14 @@ def fused_gb_linear_map_batch(
             # program costs seconds through the remote compile service. A
             # sole small batch (lo == 0) compiles its own program instead.
             if window - n_valid > n_valid:
-                import sys
+                import warnings
 
-                print(
+                warnings.warn(
                     f"fused_gb_linear_map_batch: tail of {n_valid} seeds "
                     f"padded to the {window}-fit window "
                     f"({window - n_valid} discarded solves; align "
                     f"len(seeds) to flush_every to avoid)",
-                    file=sys.stderr,
+                    stacklevel=3,
                 )
             idx = np.concatenate(
                 [idx, np.repeat(idx[-1:], window - n_valid, axis=0)]
@@ -1414,7 +1519,7 @@ def fused_gb_linear_map_batch(
             # constraint frames gathered from the unsharded original
             # (small: B x F frames) and passed as a replicated operand
             constr_b = coords_dev[jnp.asarray(idx)].astype(dtype)
-            coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_mesh(
+            coefs_rows, resid_b, finite_b, gram = _fit_coefs_batch_mesh(
                 coords_sh,
                 forces_sh,
                 mask_sh,
@@ -1422,14 +1527,14 @@ def fused_gb_linear_map_batch(
                 *common,
                 spec,
                 setup["n_chunks"],
-                jnp.asarray(solver_delta, dtype=dtype),
+                _device_scalar(solver_delta),
                 solver_iters,
                 setup["use_pallas"],
                 mesh,
                 t_block=t_blk,
             )
         else:
-            coefs_b, resid_b, gram, rows_b, b_b = _fit_coefs_batch_e2e(
+            coefs_rows, resid_b, finite_b, gram = _fit_coefs_batch_e2e(
                 coords_dev,
                 forces_dev,
                 jnp.asarray(idx),
@@ -1437,63 +1542,91 @@ def fused_gb_linear_map_batch(
                 spec,
                 setup["n_chunks"],
                 t_pad,
-                jnp.asarray(solver_delta, dtype=dtype),
+                _device_scalar(solver_delta),
                 solver_iters,
                 setup["use_pallas"],
                 t_block=t_blk,
             )
-        # dispatch the (async) per-fit split BEFORE any blocking fetch so
-        # its RPC rides the same tunnel wait; packaging only holds the row
-        # handles, never syncs on them
-        coefs_rows = _split_fit_rows(coefs_b)
-        return n_valid, coefs_b, resid_b, gram, rows_b, b_b, coefs_rows
+        return n_valid, idx, coefs_rows, resid_b, finite_b, gram
 
     def _package_window(pending):
-        """Sync one dispatched window and package its maps (in seed order)."""
-        n_valid, coefs_b, resid_b, gram, rows_b, b_b, coefs_rows = pending
-        fetched_coefs, fetched_resid = jax.device_get((coefs_b, resid_b))
+        """Sync one dispatched window and package its maps (in seed order).
+
+        The sync fetches ONLY the per-fit residuals and device-computed
+        finiteness flags (~0.5 KB); coefficients stay on device inside each
+        packaged map (``_LazyCoefTags`` defers the host copy until someone
+        reads ``coef_list``). Escalating fits (rare) recompute their
+        constraint system (:func:`_constraint_system_e2e`) and fetch the
+        window Gram once.
+        """
+        n_valid, idx, coefs_rows, resid_b, finite_b, gram = pending
+        fetched_finite, fetched_resid = jax.device_get((finite_b, resid_b))
+        gram_h = None  # window Gram, fetched once if any fit escalates
         for i in range(n_valid):
-            # decide escalation NOW (same predicate _package_fused_map
-            # applies) and fetch the per-fit constraint system to host only
-            # for escalating fits: holding the (B, S, m, K) device buffers
-            # in per-map closures pinned ~hundreds of MB of HBM for the
-            # lifetime of every returned map
-            coefs_i = np.asarray(fetched_coefs[i])
             resid_i = float(fetched_resid[i])
-            escalate = not np.all(np.isfinite(coefs_i)) or not (
+            converged = bool(fetched_finite[i]) and (
                 resid_i <= resid_tol
-            )  # NaN-aware
-            rows_i = np.asarray(rows_b[i]) if escalate else None
-            b_i = np.asarray(b_b[i]) if escalate else None
-            gram_i = np.asarray(gram) if escalate else gram
+            )  # NaN-aware: non-finite resid fails the <= comparison
+            if converged:
+                force_map = FusedGBMap(
+                    coefs=coefs_rows[i],
+                    cmap_mat=cmap_np,
+                    onehot=setup["onehot"],
+                    centers=setup["centers"],
+                    kbt=kbt_dev,
+                    spec=spec,
+                    tags=_LazyCoefTags(
+                        coefs_rows[i], {"solver_resid": resid_i}
+                    ),
+                    device_consts=device_consts,
+                )
+                maps.append(
+                    CLAFTMap(
+                        coord_map=package_coord_map, force_map=force_map
+                    )
+                )
+                continue
+            # escalation: recompute this fit's constraint system (the batch
+            # program no longer outputs the (B, S, m, K) stacks) and hand
+            # the pieces to the shared float64 packaging path
+            rows_dev, b_dev = _constraint_system_e2e(
+                coords_dev, jnp.asarray(idx[i]), cmap_dev, gmean_dev,
+                onehot_dev, counts_dev, centers_dev, spec,
+            )
+            if gram_h is None:
+                gram_h = np.asarray(gram)
             maps.append(
                 _package_fused_map(
-                    coefs_i, resid_i, gram_i, rows_i, b_i,
+                    coefs_rows[i], resid_i, gram_h,
+                    np.asarray(rows_dev), np.asarray(b_dev),
                     package_coord_map, setup["onehot"],
                     setup["centers"], kbt_dev, spec, resid_tol,
                     device_consts=device_consts,
-                    coefs_dev=coefs_rows[i],
                 )
             )
-        # drop the window's device buffers — only the fetched coefficients
-        # (plus each map's own (S, K) coefficient slice, ~25 KB) survive in
-        # the packaged maps
-        del coefs_b, resid_b, gram, rows_b, b_b, coefs_rows
+        # drop the window's device buffers — each packaged map keeps only
+        # its own (S, K) coefficient slice (~25 KB)
+        del coefs_rows, resid_b, finite_b, gram
 
-    # one-window software pipeline: window w+1's program is dispatched
-    # before window w is fetched/packaged, so the fetch payload and host
-    # packaging of w overlap w+1's device compute. Costs one extra window
-    # of live output buffers (the (B, S, m, K) constraint systems — freed
-    # one window later than a serial loop); multi-window (bootstrap) runs
-    # become program-bound instead of paying fetch+packaging per window.
-    pending = None
+    # software pipeline over flush windows: up to ``depth`` windows are
+    # dispatched ahead of the one being fetched/packaged, so the (tiny)
+    # sync payload and host packaging of window w overlap the device
+    # compute of windows w+1..w+depth, and the dispatch RPCs themselves
+    # (device_put of the frame indices + the execute call — each a
+    # latency-floored round trip on remote-attached devices) hide behind
+    # device compute instead of serializing with it. Each in-flight window
+    # holds its Gram + B coefficient slices (tens of MB at peptide scale;
+    # the (B, S, m, K) constraint systems are no longer outputs).
+    from collections import deque
+
+    depth = 2
+    pending: deque = deque()
     for lo in range(0, len(seeds), window):
-        current = _dispatch_window(lo)
-        if pending is not None:
-            _package_window(pending)
-        pending = current
-    if pending is not None:
-        _package_window(pending)
+        pending.append(_dispatch_window(lo))
+        if len(pending) > depth:
+            _package_window(pending.popleft())
+    while pending:
+        _package_window(pending.popleft())
     return maps
 
 
@@ -1751,15 +1884,14 @@ def fused_gb_linear_map_blocked(
     coords_dev = jnp.asarray(traj.coords)
     forces_dev = jnp.asarray(traj.forces)
     frame_idx_dev = jnp.asarray(frame_idx)
+    # per-system constants through the memoized device caches (repeat sweep
+    # fits re-paid one device_put RPC per constant per call otherwise)
     common = (
-        jnp.asarray(cmap_np, dtype=dtype),
-        jnp.asarray(group_mean, dtype=dtype),
-        jnp.asarray(onehot, dtype=dtype),
-        jnp.asarray(counts, dtype=dtype),
-        jnp.asarray(centers, dtype=dtype),
-        jnp.asarray(kbt, dtype=dtype),
-        jnp.asarray(l2_regularization, dtype=dtype),
+        *_fit_device_operands(cmap_np, group_mean, onehot, counts, centers),
+        _device_scalar(kbt),
+        _device_scalar(l2_regularization),
     )
+    solver_delta_dev = _device_scalar(solver_delta)
     coefs_blocks = []
     resid_max = 0.0
     for s0 in range(0, s_all, step_sites):
@@ -1772,7 +1904,7 @@ def fused_gb_linear_map_blocked(
         sel[np.arange(step_sites), pad_idx] = 1.0
         fit_kwargs = dict(
             spec=spec, n_chunks=n_chunks, t_pad=t_pad,
-            solver_delta=jnp.asarray(solver_delta, dtype=dtype),
+            solver_delta=solver_delta_dev,
             solver_iters=solver_iters,
             use_pallas=use_pallas, t_block=t_blk,
         )

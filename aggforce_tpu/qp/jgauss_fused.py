@@ -210,7 +210,7 @@ def staged_gauss_fused(
     # constants memoized by content: repeat pipelines over one system
     # re-upload only the RNG key (each device_put is an RPC through
     # remote-attached tunnels)
-    cmap_dev = device_const(coord_map.standard_matrix)
+    cmap_dev = device_const(coord_map.standard_matrix, dtype=np.float32)
 
     # the piecewise path's augmenter does exactly one key split per
     # augmentation; reproduce it so draws coincide
@@ -220,7 +220,7 @@ def staged_gauss_fused(
     _, subkey = jrandom.split(rkey)
 
     fmap1_in = (
-        device_const(force_map.standard_matrix)
+        device_const(force_map.standard_matrix, dtype=np.float32)
         if force_map is not None
         else None
     )

@@ -19,14 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 _CONST_CACHE: dict = {}  # insertion-ordered; LRU via pop+reinsert
-_CONST_CACHE_MAX = 32
+# sized for ~5 arrays per fitted system (fusedfeat's fit operands route
+# through here) x a dozen live systems; entries are small, HBM is not
+_CONST_CACHE_MAX = 64
 _SCALAR_CACHE: dict = {}
 _SCALAR_CACHE_MAX = 128
 
 
-def device_const(arr, dtype: Optional[np.dtype] = np.float32) -> jax.Array:
-    """Device-resident copy of a small host constant, memoized by content."""
-    host = np.asarray(arr, dtype=dtype)
+def device_const(arr, dtype: Optional[np.dtype] = None) -> jax.Array:
+    """Device-resident copy of a small host constant, memoized by content.
+
+    ``dtype=None`` preserves the input array's dtype; pass a dtype only to
+    request an explicit cast (callers wanting f32 say so). This keeps
+    integer/bool label arrays from being silently floated.
+    """
+    host = np.asarray(arr) if dtype is None else np.asarray(arr, dtype=dtype)
     key = (host.tobytes(), host.shape, str(host.dtype))
     hit = _CONST_CACHE.pop(key, None)
     if hit is not None:

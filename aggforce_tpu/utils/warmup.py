@@ -65,13 +65,11 @@ class WarmupHandle:
         self._thread.start()
 
     def _run(self, target) -> None:
-        import inspect
-
+        # Explicit protocol: every warm-up target receives the phases dict
+        # as its only argument (record into it or ignore it). No signature
+        # sniffing — a *args/**kwargs target would make that guess wrong.
         try:
-            if inspect.signature(target).parameters:
-                target(self.phases)
-            else:
-                target()
+            target(self.phases)
         except BaseException as e:  # noqa: BLE001 — report, never crash the app
             self.error = e
         finally:
@@ -202,7 +200,8 @@ def warm_featurized_batch(
     RPCs on remote-attached devices.
     """
 
-    def work() -> None:
+    def work(phases: dict) -> None:
+        del phases  # no sub-phase attribution for the batch warmer
         from ..qp.fusedfeat import fused_gb_linear_map_batch
 
         traj = _synth_device_traj(n_frames, coord_map.n_fg_sites, seed=0)
@@ -233,7 +232,8 @@ def warm_linear_fit(
 ) -> WarmupHandle:
     """Warm the static linear fit program (``qp_linear_map`` device path)."""
 
-    def work() -> None:
+    def work(phases: dict) -> None:
+        del phases
         from ..qp.qplinear import qp_linear_map
 
         traj = _synth_device_traj(n_frames, coord_map.n_fg_sites, seed=0)
@@ -257,7 +257,8 @@ def warm_gauss_fit(
 ) -> WarmupHandle:
     """Warm the single-stage noised-map fit (``joptgauss_map``)."""
 
-    def work() -> None:
+    def work(phases: dict) -> None:
+        del phases
         from ..qp.jgauss import joptgauss_map
 
         traj = _synth_device_traj(n_frames, coord_map.n_fg_sites, seed=0)

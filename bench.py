@@ -50,9 +50,15 @@ _RPC_S = [0.0]
 
 
 def _meter_compile_rpcs() -> None:
-    import jax._src.compiler as comp
+    # private-API patch: degrade to unmetered timing (prep_rpc_s stays 0)
+    # rather than crash the bench when a jax upgrade moves the symbol
+    try:
+        import jax._src.compiler as comp
 
-    orig = comp.compile_or_get_cached
+        orig = comp.compile_or_get_cached
+    except (ImportError, AttributeError) as e:
+        log(f"compile-RPC metering unavailable ({e!r}); timings unmetered")
+        return
 
     def traced(*a, **k):
         t0 = time.perf_counter()
@@ -63,6 +69,11 @@ def _meter_compile_rpcs() -> None:
     comp.compile_or_get_cached = traced
 
 
+# persistent-cache keys that MISSED (compiled instead of loading) this
+# process; BENCH_CACHE_AUDIT=1 turns any miss into a loud failure
+_CACHE_MISSES: list = []
+
+
 def _trace_cache_accesses() -> None:
     """AGGFORCE_TRACE_CACHE=<path>: append every persistent-cache key this
     process touches (hit or miss) to <path>, one `key hit|miss` per line.
@@ -70,21 +81,69 @@ def _trace_cache_accesses() -> None:
     Lets `tools/prune_cache.py` prune `.jax_cache` to the union of keys the
     bench modes actually load — stale generations otherwise accumulate
     every time a jitted program's code changes (each is multi-MB).
+
+    BENCH_CACHE_AUDIT=1 additionally records misses for the audit gate in
+    ``main()``: the committed `.jax_cache` is supposed to cover every
+    headline program, and Mosaic cache keys embed call-site tracebacks, so
+    a line shift in the pallas trace stack silently invalidates entries —
+    the audit catches that at commit time instead of on measurement day.
     """
     path = os.environ.get("AGGFORCE_TRACE_CACHE")
-    if not path:
+    audit = os.environ.get("BENCH_CACHE_AUDIT", "0") == "1"
+    if not path and not audit:
         return
-    import jax._src.compilation_cache as cc
+    # private-API patch: degrade to untraced/unaudited rather than crash
+    try:
+        import jax._src.compilation_cache as cc
 
-    orig = cc.get_executable_and_time
+        orig = cc.get_executable_and_time
+    except (ImportError, AttributeError) as e:
+        log(f"cache tracing unavailable ({e!r}); continuing untraced")
+        return
 
     def traced(cache_key, *a, **k):
         out = orig(cache_key, *a, **k)
-        with open(path, "a") as fh:
-            fh.write(f"{cache_key} {'hit' if out[0] is not None else 'miss'}\n")
+        hit = out[0] is not None
+        if not hit:
+            _CACHE_MISSES.append(cache_key)
+        if path:
+            with open(path, "a") as fh:
+                fh.write(f"{cache_key} {'hit' if hit else 'miss'}\n")
         return out
 
     cc.get_executable_and_time = traced
+
+
+def _cache_audit_gate() -> None:
+    """BENCH_CACHE_AUDIT=1: fail (rc=4) when any program compiled instead
+    of loading from the committed cache — the staleness gate of VERDICT r4.
+
+    Run it after `tools/repop_cache.sh` + prune + commit: a green audit
+    proves the committed `.jax_cache` still covers every program the bench
+    modes execute. Any miss means a code change shifted a cache key (for
+    pallas programs even a pure line shift does it) and the repop protocol
+    must run again before measurement numbers are believable.
+    """
+    if os.environ.get("BENCH_CACHE_AUDIT", "0") != "1":
+        return
+    if not _CACHE_MISSES:
+        log("cache audit: OK (0 misses)")
+        return
+    _emit(
+        "cache_audit_misses",
+        float(len(_CACHE_MISSES)),
+        extra={
+            "error": "cache_audit_failed",
+            "detail": (
+                f"{len(_CACHE_MISSES)} program(s) compiled instead of "
+                "loading from .jax_cache — stale entries; re-run "
+                "tools/repop_cache.sh + prune + commit"
+            ),
+            "first_miss_keys": [str(k)[:32] for k in _CACHE_MISSES[:5]],
+        },
+    )
+    sys.stdout.flush()
+    sys.exit(4)
 
 
 def _enable_compile_cache() -> None:
@@ -877,8 +936,10 @@ def main() -> None:
         _E2E_VALID = False
         for fn in (run_static, run_gauss, run_cv, run_sweep, run_featurized):
             fn()
+        _cache_audit_gate()
         return
     runners[mode]()
+    _cache_audit_gate()
 
 
 if __name__ == "__main__":

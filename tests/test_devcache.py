@@ -55,9 +55,10 @@ def test_device_scalar_hit_and_value():
 
 
 def test_fit_operand_cache_reuses_buffers():
+    # fusedfeat's fit operands route through the shared devcache LRU
     from aggforce_tpu.qp import fusedfeat
 
-    fusedfeat._FIT_OPERAND_CACHE.clear()
+    devcache._CONST_CACHE.clear()
     cmap = np.eye(3, dtype=np.float32)
     onehot = np.eye(3, dtype=np.float32)
     counts = onehot.sum(axis=0)
@@ -68,9 +69,9 @@ def test_fit_operand_cache_reuses_buffers():
         cmap.copy(), gmean.copy(), onehot.copy(), counts.copy(), centers.copy()
     )
     assert all(a is b for a, b in zip(ops1, ops2))
-    # a different system gets fresh buffers
+    # a different system gets a fresh buffer for the changed array only
     ops3 = fusedfeat._fit_device_operands(
         2.0 * cmap, gmean, onehot, counts, centers
     )
     assert ops3[0] is not ops1[0]
-    assert len(fusedfeat._FIT_OPERAND_CACHE) == 2
+    assert ops3[1] is ops1[1]  # unchanged arrays keep their buffers

@@ -335,6 +335,80 @@ def test_fused_batch_windows_and_tail(waterdimer):
         np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_s), atol=1e-5)
 
 
+def test_fused_batch_tail_padding_warns(waterdimer):
+    """A tail window dominated by padding must emit a real warning
+    (warnings.warn, catchable by user filters), and the padded fits must
+    still be correct. Matches the reference's warning discipline
+    (reference map/tmap.py:356-359)."""
+    import numpy as np
+    import pytest
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import GBFeatSpec, fused_gb_linear_map_batch
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:64].astype(np.float32)
+    forces = waterdimer["forces"][:64].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    # 5 seeds over 4-fit windows -> tail of 1 seed padded by 3 (> 1 valid)
+    with pytest.warns(UserWarning, match="padded to the 4-fit window"):
+        batch = fused_gb_linear_map_batch(
+            traj, cmap, kbt=0.5, spec=spec, seeds=range(5),
+            constraints=set(), l2_regularization=1e3, flush_every=4,
+        )
+    assert len(batch) == 5
+    for tmap in batch:
+        _, mf = tmap.map_arrays(coords[:4], forces[:4])
+        assert np.all(np.isfinite(mf))
+
+
+def test_fused_batch_lazy_coef_tags(waterdimer):
+    """Batched maps defer the coefficient fetch: tags behave as a plain
+    dict, `solver_resid` reads must NOT materialize the device->host copy,
+    and `coef_list` reads must produce the same rows as the single fit."""
+    import numpy as np
+
+    from aggforce_tpu import LinearMap
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        _LazyCoefTags,
+        fused_gb_linear_map,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"][:96].astype(np.float32)
+    forces = waterdimer["forces"][:96].astype(np.float32)
+    traj = Trajectory(coords=coords, forces=forces)
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    spec = GBFeatSpec(outer=1.0, n_basis=3)
+    # loose resid_tol keeps the f32 device solve (no escalation): the lazy
+    # packaging exists precisely for converged device-resident results
+    kw = dict(
+        kbt=0.5, spec=spec, constraints=set(), l2_regularization=1e3,
+        resid_tol=0.5,
+    )
+    batch = fused_gb_linear_map_batch(traj, cmap, seeds=[9], **kw)
+    tags = batch[0].force_map.tags
+    assert isinstance(tags, _LazyCoefTags)
+    # reading other keys leaves the device handle unmaterialized
+    assert tags["solver_resid"] >= 0.0
+    assert tags._coefs_dev is not None
+    # coef_list access materializes and matches the single fit's rows
+    single = fused_gb_linear_map(
+        traj, cmap, constraint_rng=np.random.default_rng(9), **kw
+    )
+    got = np.stack(tags["coef_list"])
+    want = np.stack(single.force_map.tags["coef_list"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert tags._coefs_dev is None
+    # whole-dict views include the materialized key
+    assert set(tags.keys()) == {"solver_resid", "coef_list"}
+    assert "coef_list" in dict(tags.copy())
+
+
 def test_fused_batch_escalation_materializes_deferred_rows(waterdimer):
     """Batch fits that miss tolerance must materialize their deferred
     constraint systems and recover via the float64 oracle."""
