@@ -65,6 +65,21 @@ _BLOCKED_N_THRESHOLD = 256
 _REFINE_TOL = 5e-7
 _DEFAULT_REFINE_SWEEPS = 8
 
+# Above this augmented-operator dimension the shared-factor solver skips
+# the explicit per-site inverse when the total right-hand-side work is
+# small (f*m <= 2n): Z = M^{-1} A^T then comes from a blocked cho_solve
+# against the factor — ~n^2*m FLOPs per site instead of the inverse
+# route's ~2n^3 (blocked triangular inverse + the L^-T L^-1 GEMM). The
+# explicit inverse exists to AMORTIZE across many fits sharing one
+# factor (the 64-fit batch windows, where f*m >> n); the sweep-scale
+# site-block fit calls the same solver with f=1, K~9000, m~1300, where
+# the inverse is ~7x the FLOPs of the one solve it enables and its
+# (s, n, n) buffer dominates transient HBM. Below this dimension the
+# substitutions are latency-bound, not FLOP-bound, and the inverse route
+# measures faster (see _BLOCKED_N_THRESHOLD); production featurized
+# systems (n ~ 600-700) keep their committed executables bit-identical.
+_DIRECT_Z_N_THRESHOLD = 4096
+
 
 def _panel_width(n: int) -> int:
     """Blocked-kernel panel width, scaled to the problem.
@@ -387,24 +402,39 @@ def batched_eqp_solve_shared(
     # classic inverse-instability concern applies to ITERATING with an
     # inverse; here it is applied once and the Schur refinement works
     # against the exact An), and the residual diagnostic still guards
-    # escalation. Unconditional so a problem's numerics are independent of
-    # the window size (single fit == fit inside any batch).
-    minv = _site_factor_inv(P, delta, delta_fallback)
-    x, resid = _shared_schur_stage(
-        minv, A, B, delta, delta_fallback, iters
-    )
+    # escalation. The route is a SHAPE-ONLY choice (static at trace time),
+    # so a problem's numerics stay independent of window composition
+    # within each regime: production systems (n ~ 600-700) always take
+    # the inverse route (single fit == fit inside any batch, which the
+    # batch-vs-single parity tests pin), while sweep-scale systems
+    # (n > _DIRECT_Z_N_THRESHOLD) with few total RHS take the solve-based
+    # Z, where the inverse would cost ~7x the FLOPs of the one
+    # application it enables.
+    f, m, n = A.shape[0], A.shape[2], A.shape[3]
+    if n > _DIRECT_Z_N_THRESHOLD and f * m <= 2 * n:
+        # solve-based Z: factor once per site, skip the explicit inverse
+        chol = _site_factor_chol(P, delta, delta_fallback)
+        x, resid = _shared_schur_stage(
+            chol, A, B, delta, delta_fallback, iters, op_is_factor=True
+        )
+    else:
+        minv = _site_factor_inv(P, delta, delta_fallback)
+        x, resid = _shared_schur_stage(
+            minv, A, B, delta, delta_fallback, iters
+        )
     if return_resid:
         return x, resid
     return x
 
 
 def _shared_schur_stage(
-    minv: jax.Array,  # (s, n, n) explicit per-site inverses
+    op: jax.Array,  # (s, n, n) per-site inverses OR Cholesky factors
     A: jax.Array,  # (f, s, m, n)
     B: jax.Array,  # (f, s, m, k)
     delta: float,
     delta_fallback: float,
     iters: int,
+    op_is_factor: bool = False,
 ):
     """Per-fit stage of the shared-factor solve: equilibrate, Z, Schur tail.
 
@@ -412,6 +442,10 @@ def _shared_schur_stage(
     can run it on a fit-shard with the (all-gathered) site inverses. Each
     problem's arithmetic is independent of the batch composition, so the
     sharded and replicated runs agree per problem.
+
+    ``op_is_factor=True`` means ``op`` holds the per-site Cholesky factors
+    and Z comes from a (blocked) cho_solve instead of an inverse GEMM —
+    the large-n / few-RHS route (see ``_DIRECT_Z_N_THRESHOLD``).
     """
     f, s = A.shape[0], A.shape[1]
     m, n = A.shape[2], A.shape[3]
@@ -421,18 +455,21 @@ def _shared_schur_stage(
     )
     An = (A / row_norm).reshape(f * s, m, n)
     Bn = (B / row_norm).reshape(f * s, B.shape[2], B.shape[3])
-    minv_b = jnp.broadcast_to(minv[None], (f,) + minv.shape).reshape(
+    op_b = jnp.broadcast_to(op[None], (f,) + op.shape).reshape(
         f * s, n, n
     )
-    Z = jnp.matmul(minv_b, jnp.swapaxes(An, 1, 2), precision="highest")
+    if op_is_factor:
+        Z = _solve_spd(op_b, jnp.swapaxes(An, 1, 2))
+    else:
+        Z = jnp.matmul(op_b, jnp.swapaxes(An, 1, 2), precision="highest")
     x, resid = _schur_tail(
         Z, An, Bn, delta, delta_fallback, iters, _REFINE_TOL
     )
     return x.reshape(f, s, n, -1), resid.reshape(f, s)
 
 
-def _site_factor_inv(P: jax.Array, delta, delta_fallback) -> jax.Array:
-    """Equilibrate + lazily-shifted Cholesky + explicit inverse per site."""
+def _site_factor_chol(P: jax.Array, delta, delta_fallback) -> jax.Array:
+    """Equilibrate + lazily-shifted Cholesky per site (no inverse)."""
     n = P.shape[-1]
     dtype = P.dtype
     p_scale = (
@@ -440,8 +477,12 @@ def _site_factor_inv(P: jax.Array, delta, delta_fallback) -> jax.Array:
     )
     Pn = P / p_scale[:, None, None]
     Pn = 0.5 * (Pn + jnp.swapaxes(Pn, 1, 2))
-    chol_site = _lazy_shift_factor(Pn, [delta, delta_fallback])
-    return _inv_spd(chol_site)
+    return _lazy_shift_factor(Pn, [delta, delta_fallback])
+
+
+def _site_factor_inv(P: jax.Array, delta, delta_fallback) -> jax.Array:
+    """Equilibrate + lazily-shifted Cholesky + explicit inverse per site."""
+    return _inv_spd(_site_factor_chol(P, delta, delta_fallback))
 
 
 @partial(

@@ -151,3 +151,56 @@ def test_shared_solver_batch_invariance():
             batched_eqp_solve_shared(P, A[fi : fi + 1], B[fi : fi + 1])
         )[0]
         np.testing.assert_array_equal(X_all[fi], X_one)
+
+
+def test_shared_solver_direct_z_route():
+    """The solve-based Z route (op_is_factor=True) must match the
+    explicit-inverse route and the float64 oracle on the same problems.
+
+    This is the sweep-scale path of batched_eqp_solve_shared: above
+    _DIRECT_Z_N_THRESHOLD with few total right-hand sides (f*m <= 2n) the
+    explicit per-site inverse costs ~7x the FLOPs of the one Z it enables,
+    so Z comes from a cho_solve against the factor instead. The route is a
+    shape-only (trace-time) choice; both routes land in the same
+    _schur_tail, so accuracy class and escalation semantics are shared.
+    """
+    import jax
+
+    from aggforce_tpu.ops import eqp
+
+    rng = np.random.default_rng(9)
+    s, f, n, m = 2, 1, 24, 5
+    P = np.stack(
+        [
+            (lambda F: (F.T @ F / 80 + 0.3 * np.eye(n)).astype(np.float32))(
+                rng.normal(size=(80, n))
+            )
+            for _ in range(s)
+        ]
+    )
+    A = rng.normal(size=(f, s, m, n)).astype(np.float32)
+    B = rng.normal(size=(f, s, m, 1)).astype(np.float32)
+
+    chol = eqp._site_factor_chol(P, 1e-6, 3e-4)
+    x_direct, r_direct = eqp._shared_schur_stage(
+        chol, A, B, 1e-6, 3e-4, 10, op_is_factor=True
+    )
+    minv = eqp._site_factor_inv(P, 1e-6, 3e-4)
+    x_inv, _ = eqp._shared_schur_stage(minv, A, B, 1e-6, 3e-4, 10)
+    x_direct, x_inv = np.asarray(x_direct), np.asarray(x_inv)
+    for si in range(s):
+        expect = eqp_solve_host(P[si], A[0, si], B[0, si])
+        np.testing.assert_allclose(x_direct[0, si], expect, atol=5e-4)
+        np.testing.assert_allclose(x_inv[0, si], expect, atol=5e-4)
+    assert float(np.asarray(r_direct).max()) < 1e-5
+
+    # the jitted wrapper takes the direct route when the shape gate fires
+    orig = eqp._DIRECT_Z_N_THRESHOLD
+    try:
+        eqp._DIRECT_Z_N_THRESHOLD = 16  # n=24 > 16, f*m=5 <= 2n
+        jax.clear_caches()  # drop traces cached with the real threshold
+        x_gated = np.asarray(eqp.batched_eqp_solve_shared(P, A, B))
+    finally:
+        eqp._DIRECT_Z_N_THRESHOLD = orig
+        jax.clear_caches()
+    np.testing.assert_allclose(x_gated, x_direct, atol=1e-5)
