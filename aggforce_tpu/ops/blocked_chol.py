@@ -30,7 +30,9 @@ from jax import lax
 
 __all__ = [
     "cholesky_blocked",
+    "cholesky_recursive",
     "cho_solve_blocked",
+    "tri_solve_blocked",
     "tri_inv_blocked",
     "spd_inv_from_chol",
 ]
@@ -97,15 +99,70 @@ def cholesky_blocked(M: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
     return L[:n, :n]
 
 
-@partial(jax.jit, static_argnames=("nb",))
-def cho_solve_blocked(
-    L: jax.Array, B: jax.Array, nb: int = _DEFAULT_BLOCK
+def cholesky_recursive(
+    M: jax.Array, nb: int = _DEFAULT_BLOCK, leaf: int = 2304
 ) -> jax.Array:
-    """Solve (L L^T) X = B given lower-triangular L, by block substitution.
+    """Minimal-FLOP blocked Cholesky via recursive 2x2 splitting.
 
-    Equivalent of ``jax.scipy.linalg.cho_solve((L, True), B)``; B is
-    (n, n_rhs). Forward then backward substitution, one (nb, nb) triangular
-    solve instance each, panel updates as GEMMs.
+    :func:`cholesky_blocked`'s right-looking panel loop applies every
+    trailing update at FULL width (static shapes inside ``fori_loop``), so
+    it executes ~n^3 MACs where the factorization needs n^3/3 — a 3x FLOP
+    tax that dominates at sweep scale (n ~ 9000: the site factorization is
+    the largest stage of the direct-Z shared solve). Splitting
+
+        [[A11,    ],     [[L11,    ],
+         [A21, A22]]  ->  [L21, L22]]
+
+    at a Python-level (static) panel boundary lets each trailing update
+    run at its own static size: L11 = chol(A11) (recurse), L21 from one
+    forward block substitution (:func:`tri_solve_blocked` against A21^T),
+    S = A22 - L21 L21^T (GEMM at the sub-block's exact size), L22 =
+    chol(S) (recurse). Total work is the minimal n^3/3 MACs; sequential
+    substitution depth is unchanged (same (nb, nb) panel solves, now at
+    the leaves). Each distinct sub-size traces once — depth is
+    log2(n/leaf), so a 9216-pad factor adds ~3 GEMM/solve shapes.
+
+    Numerics: same error class as the panel loop (identical leaf
+    arithmetic, GEMM updates at precision="highest"); non-finite inputs
+    propagate. ``leaf`` keeps small problems on the single-loop kernel
+    where recursion overhead (transposes, concats) would dominate.
+    """
+    n = M.shape[-1]
+    h = ((n // 2 + nb - 1) // nb) * nb  # split at a panel boundary
+    if n <= leaf or h >= n:
+        return cholesky_blocked(M, nb=nb)
+    A11 = M[..., :h, :h]
+    A21 = M[..., h:, :h]
+    A22 = M[..., h:, h:]
+    L11 = cholesky_recursive(A11, nb=nb, leaf=leaf)
+    # L21 L11^T = A21  <=>  L11 Y = A21^T with L21 = Y^T
+    Y = tri_solve_blocked(L11, jnp.swapaxes(A21, -1, -2), nb=nb)
+    L21 = jnp.swapaxes(Y, -1, -2)
+    S = A22 - jnp.matmul(
+        L21, jnp.swapaxes(L21, -1, -2), precision="highest"
+    )
+    L22 = cholesky_recursive(S, nb=nb, leaf=leaf)
+    top = jnp.concatenate(
+        [L11, jnp.zeros(L11.shape[:-1] + (n - h,), dtype=M.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("nb", "transpose_a"))
+def tri_solve_blocked(
+    L: jax.Array,
+    B: jax.Array,
+    nb: int = _DEFAULT_BLOCK,
+    transpose_a: bool = False,
+) -> jax.Array:
+    """Solve L Y = B (or L^T Y = B with ``transpose_a``) by block panels.
+
+    One half of :func:`cho_solve_blocked`, exposed on its own because the
+    recursive Cholesky's off-diagonal panel (L21 = A21 L11^-T) is exactly
+    one forward substitution against a transposed right-hand side. One
+    (nb, nb) triangular-solve instance compiled per call; panel updates
+    are GEMMs.
     """
     squeeze = B.ndim == 1
     if squeeze:
@@ -114,8 +171,8 @@ def cho_solve_blocked(
     # [[L, 0], [0, I]] keeps the top-block solves exact
     L, n = _pad_spd(L, nb)
     n_pad = L.shape[-1]
-    if n_pad != n:
-        B = jnp.pad(B, ((0, n_pad - n), (0, 0)))
+    if B.shape[0] != n_pad:
+        B = jnp.pad(B, ((0, n_pad - B.shape[0]), (0, 0)))
     k = n_pad // nb
     rows = jnp.arange(n_pad)
 
@@ -133,10 +190,6 @@ def cho_solve_blocked(
         col = jnp.where((rows >= c0 + nb)[:, None], col, 0.0)
         R = R - jnp.matmul(col, Yj, precision="highest")
         return R, Y
-
-    _, Y = lax.fori_loop(
-        0, k, fwd, (B, jnp.zeros_like(B))
-    )
 
     def bwd(i, carry):
         # solving L^T X = Y, blocks bottom-up; after computing X_j, rows
@@ -156,8 +209,28 @@ def cho_solve_blocked(
         R = R - jnp.matmul(row.T, Xj, precision="highest")
         return R, X
 
-    _, X = lax.fori_loop(0, k, bwd, (Y, jnp.zeros_like(Y)))
-    X = X[:n]
+    body = bwd if transpose_a else fwd
+    _, Y = lax.fori_loop(0, k, body, (B, jnp.zeros_like(B)))
+    Y = Y[:n]
+    return Y[:, 0] if squeeze else Y
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def cho_solve_blocked(
+    L: jax.Array, B: jax.Array, nb: int = _DEFAULT_BLOCK
+) -> jax.Array:
+    """Solve (L L^T) X = B given lower-triangular L, by block substitution.
+
+    Equivalent of ``jax.scipy.linalg.cho_solve((L, True), B)``; B is
+    (n, n_rhs). Forward then backward substitution
+    (:func:`tri_solve_blocked` twice), one (nb, nb) triangular solve
+    instance each, panel updates as GEMMs.
+    """
+    squeeze = B.ndim == 1
+    if squeeze:
+        B = B[:, None]
+    Y = tri_solve_blocked(L, B, nb=nb, transpose_a=False)
+    X = tri_solve_blocked(L, Y, nb=nb, transpose_a=True)
     return X[:, 0] if squeeze else X
 
 

@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
-from .blocked_chol import cho_solve_blocked, cholesky_blocked, spd_inv_from_chol
+from .blocked_chol import (
+    cho_solve_blocked,
+    cholesky_blocked,
+    cholesky_recursive,
+    spd_inv_from_chol,
+)
 
 # Above this dimension the factorization/solve of the augmented operator
 # switches to the blocked (fori_loop) kernels: XLA's unrolled lowering of
@@ -99,8 +104,19 @@ def _panel_width(n: int) -> int:
 
 
 def _factor_spd(M: jax.Array) -> jax.Array:
-    """Batched lower-Cholesky of (b, n, n) SPD matrices, compile-lean."""
+    """Batched lower-Cholesky of (b, n, n) SPD matrices, compile-lean.
+
+    Above _DIRECT_Z_N_THRESHOLD the recursive splitting kernel replaces
+    the single panel loop: its trailing updates run at their own static
+    sizes (minimal n^3/3 MACs vs the loop's n^3 full-width updates),
+    which matters exactly where the factorization is FLOP-bound. Below,
+    the loop (or the tiny unrolled factor) stays — the committed
+    production executables are unchanged.
+    """
     n = M.shape[-1]
+    if n > _DIRECT_Z_N_THRESHOLD:
+        nb = _panel_width(n)
+        return jax.vmap(lambda x: cholesky_recursive(x, nb=nb))(M)
     if n > _BLOCKED_N_THRESHOLD:
         nb = _panel_width(n)
         return jax.vmap(lambda x: cholesky_blocked(x, nb=nb))(M)

@@ -23,6 +23,9 @@ kernel that computes the geometry once and emits the mapped forces directly
 retained for CLAMap API parity.
 """
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple, Union
@@ -1892,9 +1895,13 @@ def fused_gb_linear_map_blocked(
         _device_scalar(l2_regularization),
     )
     solver_delta_dev = _device_scalar(solver_delta)
+    # AGGFORCE_PROF_BLOCKS=1: per-block wall clocks to stderr (dispatch ->
+    # sync, attributing the fit's device floor block by block)
+    prof_blocks = os.environ.get("AGGFORCE_PROF_BLOCKS", "0") == "1"
     coefs_blocks = []
     resid_max = 0.0
     for s0 in range(0, s_all, step_sites):
+        t_block0 = time.perf_counter() if prof_blocks else 0.0
         idx = np.arange(s0, min(s0 + step_sites, s_all))
         # pad the final block by repeating its last site; dropped on exit
         pad_idx = np.concatenate(
@@ -1948,6 +1955,13 @@ def fused_gb_linear_map_blocked(
                 )
         coefs_blocks.append(coefs_np)
         resid_max = max(resid_max, float(resid_np.max()))
+        if prof_blocks:
+            print(
+                f"[siteblock {s0 // step_sites}] "
+                f"{time.perf_counter() - t_block0:.3f}s "
+                f"(sites {idx[0]}-{idx[-1]}, resid {float(resid_np.max()):.2e})",
+                file=sys.stderr,
+            )
     coefs_all = np.concatenate(coefs_blocks, axis=0)
     if not np.all(np.isfinite(coefs_all)):
         raise ValueError("Map optimization failed.")

@@ -420,6 +420,21 @@ def run_sweep_featurized() -> None:
     )
     traj = Trajectory(coords=coords, forces=forces)
 
+    # BENCH_SWEEP_MESH=N shards the site-block axis over N devices (one
+    # block program per device, no collectives — the dryrun-proven
+    # `fused_gb_linear_map_blocked(mesh=...)` path). On a single-chip
+    # bench host the mesh run is skipped and the N-device time is
+    # PROJECTED instead: blocks are independent, so an N-device mesh runs
+    # ceil(n_blocks/N) super-dispatches where one chip runs n_blocks.
+    mesh_req = int(os.environ.get("BENCH_SWEEP_MESH", "8"))
+    devs = jax.devices()
+    mesh = None
+    if mesh_req > 1 and len(devs) >= mesh_req:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devs[:mesh_req]), axis_names=("siteblocks",))
+        log(f"site-block mesh over {mesh_req} devices")
+
     def fit():
         t0 = time.perf_counter()
         tmap = fused_gb_linear_map_blocked(
@@ -429,6 +444,7 @@ def run_sweep_featurized() -> None:
             n_constraint_frames=20,
             constraint_rng=np.random.default_rng(3),
             chunk_size=256, site_block=site_block,
+            mesh=mesh,
         )
         return tmap, time.perf_counter() - t0
 
@@ -439,6 +455,29 @@ def run_sweep_featurized() -> None:
     mc, mf = tmap.map_arrays(coords[:8], forces[:8])
     assert np.all(np.isfinite(np.asarray(mf)))
     value = n_frames / elapsed
+    n_blocks = -(-s_sites // site_block)
+    extra = {
+        "k_exp": k_exp,
+        "site_block": site_block,
+        "gram_stack_gb": round(stack_gb, 1),
+        "fit_seconds": round(elapsed, 2),
+        "mesh_devices": 1 if mesh is None else mesh_req,
+    }
+    if mesh is None and mesh_req > 1:
+        # projection, not a measurement: per-block device time scaled to
+        # ceil(blocks/N) mesh dispatches (block programs are independent;
+        # the sharded executable is validated by dryrun_multichip)
+        per_block = elapsed / n_blocks
+        projected = per_block * (-(-n_blocks // mesh_req))
+        extra["projected_fit_s_mesh"] = round(projected, 2)
+        extra["projected_mesh_devices"] = mesh_req
+        extra["projection_basis"] = (
+            "independent site-block programs; mesh path dryrun-validated"
+        )
+        log(
+            f"projected {mesh_req}-device mesh fit: {projected:.2f}s "
+            f"({n_blocks} blocks -> {-(-n_blocks // mesh_req)} per device)"
+        )
     log(
         f"sweep featurized fit: {elapsed:.3f}s -> {value:.1f} "
         f"frames/s/chip (resid {resid:.2e})"
@@ -446,12 +485,7 @@ def run_sweep_featurized() -> None:
     _emit(
         "sweep_featurized_fit_frames_per_sec_per_chip",
         value,
-        extra={
-            "k_exp": k_exp,
-            "site_block": site_block,
-            "gram_stack_gb": round(stack_gb, 1),
-            "fit_seconds": round(elapsed, 2),
-        },
+        extra=extra,
     )
 
 

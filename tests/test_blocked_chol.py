@@ -105,3 +105,52 @@ def test_spd_inv_from_chol_matches_dense(n):
     # reconstruction: M @ Minv ~ I
     recon = np.asarray(M, dtype=np.float64) @ Minv
     assert np.allclose(recon, np.eye(n), atol=5e-3)
+
+
+@pytest.mark.parametrize("n", [130, 300, 702, 1100])
+def test_cholesky_recursive_matches_lapack(n):
+    """Recursive splitting must match LAPACK like the panel loop does
+    (leaf forced small so several recursion levels actually run)."""
+    from aggforce_tpu.ops.blocked_chol import cholesky_recursive
+
+    M = jnp.asarray(_spd(n, seed=n + 1))
+    L = np.asarray(cholesky_recursive(M, nb=128, leaf=256))
+    ref = np.linalg.cholesky(np.asarray(M, dtype=np.float64))
+    assert np.allclose(L, ref, atol=5e-3, rtol=1e-3)
+    assert np.all(np.triu(L, k=1) == 0.0)
+
+
+def test_cholesky_recursive_vmap():
+    from aggforce_tpu.ops.blocked_chol import cholesky_recursive
+
+    M = np.stack([_spd(300, seed=s) for s in (3, 4)])
+    L = np.asarray(
+        jax.vmap(lambda x: cholesky_recursive(x, nb=128, leaf=256))(
+            jnp.asarray(M)
+        )
+    )
+    for i in range(2):
+        ref = np.linalg.cholesky(M[i].astype(np.float64))
+        assert np.allclose(L[i], ref, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("transpose_a", [False, True])
+def test_tri_solve_blocked_matches_lapack(transpose_a):
+    from aggforce_tpu.ops.blocked_chol import tri_solve_blocked
+
+    n, n_rhs = 300, 7
+    M = _spd(n, seed=11)
+    L = np.linalg.cholesky(M.astype(np.float64)).astype(np.float32)
+    B = np.random.default_rng(12).normal(size=(n, n_rhs)).astype(np.float32)
+    Y = np.asarray(
+        tri_solve_blocked(
+            jnp.asarray(L), jnp.asarray(B), nb=128, transpose_a=transpose_a
+        )
+    )
+    import scipy.linalg as sl
+
+    ref = sl.solve_triangular(
+        L.astype(np.float64), B.astype(np.float64),
+        lower=True, trans="T" if transpose_a else "N",
+    )
+    assert np.allclose(Y, ref, atol=2e-3, rtol=1e-3)

@@ -29,11 +29,7 @@ from aggforce_tpu.ops.blocked_chol import (  # noqa: E402
     spd_inv_from_chol,
     tri_inv_blocked,
 )
-from aggforce_tpu.ops.eqp import (  # noqa: E402
-    _lazy_shift_factor,
-    _shared_schur_stage,
-    _site_factor_inv,
-)
+from aggforce_tpu.ops.eqp import _shared_schur_stage  # noqa: E402
 
 sb = int(sys.argv[1]) if len(sys.argv) > 1 else 6
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 9000
@@ -63,15 +59,40 @@ def timed(name, fn, nrep=3):
     return out
 
 
+# Memory hygiene: each (Sb, n, n) buffer is ~Sb*n^2*4 B (1.9 GB at the
+# default geometry) and the big stages carry 2-3x transients, so buffers
+# are .delete()d as soon as a later stage no longer needs them — the
+# original keep-everything script exhausted 16 GB HBM at Sb=6.
+
+# --- direct-Z route first (the production sweep path: f=1, f*m <= 2n) ---
+from aggforce_tpu.ops.blocked_chol import cho_solve_blocked  # noqa: E402
+from aggforce_tpu.ops.eqp import _site_factor_chol  # noqa: E402
+
+sfc_jit = jax.jit(lambda p: _site_factor_chol(p, 1e-6, 3e-4))
+cholf = timed("site factor only (equilibrate+chol)", lambda: sfc_jit(P))
+solve_jit = jax.jit(lambda c, a: jax.vmap(
+    lambda cc, aa: cho_solve_blocked(cc, aa, nb=nb)
+)(c, jnp.swapaxes(a[0], 1, 2)))
+Z = timed("Z cho_solve alone (nb=512)", lambda: solve_jit(cholf, A))
+Z.delete()
+dtail_jit = jax.jit(lambda c, a, b: _shared_schur_stage(
+    c, a, b, 1e-6, 3e-4, 40, op_is_factor=True))
+out = timed(
+    "Z + Schur + refinement tail (solve Z)", lambda: dtail_jit(cholf, A, B)
+)
+jax.tree.map(lambda x: x.delete(), out)
+cholf.delete()
+
+# --- inverse route (the batch-window path, for comparison) ---
 chol_jit = jax.jit(lambda p: jax.vmap(lambda x: cholesky_blocked(x, nb=nb))(p))
 chol = timed("blocked cholesky (nb=512)", lambda: chol_jit(P))
 linv_jit = jax.jit(lambda c: jax.vmap(lambda x: tri_inv_blocked(x, nb=nb))(c))
 linv = timed("blocked triangular inverse", lambda: linv_jit(chol))
+chol.delete()
 gemm_jit = jax.jit(lambda li: jnp.matmul(
     jnp.swapaxes(li, 1, 2), li, precision="highest"))
 minv = timed("L^-T L^-1 GEMM", lambda: gemm_jit(linv))
-sfi_jit = jax.jit(lambda p: _site_factor_inv(p, 1e-6, 3e-4))
-minv = timed("site factor+inverse (fit path)", lambda: sfi_jit(P))
+linv.delete()
 tail_jit = jax.jit(lambda mi, a, b: _shared_schur_stage(
     mi, a, b, 1e-6, 3e-4, 40))
-timed("Z + Schur + refinement tail", lambda: tail_jit(minv, A, B))
+timed("Z + Schur + refinement tail (inverse Z)", lambda: tail_jit(minv, A, B))
