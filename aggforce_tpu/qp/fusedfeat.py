@@ -1871,6 +1871,10 @@ def fused_gb_linear_map_blocked(
     # ~100 MB VMEM grant, so the depth backs off with group width
     g_pad_est = max(16, -(-onehot.shape[1] // 16) * 16)
     t_blk = 512 if (t >= 4096 and g_pad_est <= 1536) else 256
+    # AGGFORCE_SWEEP_TBLOCK overrides the tile depth (deeper frame blocks
+    # raise the Gram kernel's MXU utilization until the two (t_blk, G_pad)
+    # input windows + intermediates overflow the ~100 MB VMEM grant)
+    t_blk = int(os.environ.get("AGGFORCE_SWEEP_TBLOCK", t_blk))
     if use_pallas:
         t_pad = -(-t_pad // t_blk) * t_blk
 
