@@ -127,23 +127,28 @@ def cholesky_recursive(
     propagate. ``leaf`` keeps small problems on the single-loop kernel
     where recursion overhead (transposes, concats) would dominate.
     """
+    if M.ndim != 2:
+        # tri_solve_blocked is strictly 2-D (its row/pad axes are
+        # positional); batch with an outer vmap, like _factor_spd does
+        raise ValueError(
+            f"cholesky_recursive takes a single (n, n) matrix, got shape "
+            f"{M.shape}; vmap it for batches"
+        )
     n = M.shape[-1]
     h = ((n // 2 + nb - 1) // nb) * nb  # split at a panel boundary
     if n <= leaf or h >= n:
         return cholesky_blocked(M, nb=nb)
-    A11 = M[..., :h, :h]
-    A21 = M[..., h:, :h]
-    A22 = M[..., h:, h:]
+    A11 = M[:h, :h]
+    A21 = M[h:, :h]
+    A22 = M[h:, h:]
     L11 = cholesky_recursive(A11, nb=nb, leaf=leaf)
     # L21 L11^T = A21  <=>  L11 Y = A21^T with L21 = Y^T
-    Y = tri_solve_blocked(L11, jnp.swapaxes(A21, -1, -2), nb=nb)
-    L21 = jnp.swapaxes(Y, -1, -2)
-    S = A22 - jnp.matmul(
-        L21, jnp.swapaxes(L21, -1, -2), precision="highest"
-    )
+    Y = tri_solve_blocked(L11, A21.T, nb=nb)
+    L21 = Y.T
+    S = A22 - jnp.matmul(L21, L21.T, precision="highest")
     L22 = cholesky_recursive(S, nb=nb, leaf=leaf)
     top = jnp.concatenate(
-        [L11, jnp.zeros(L11.shape[:-1] + (n - h,), dtype=M.dtype)], axis=-1
+        [L11, jnp.zeros((h, n - h), dtype=M.dtype)], axis=-1
     )
     bot = jnp.concatenate([L21, L22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)

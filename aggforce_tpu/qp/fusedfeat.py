@@ -1305,11 +1305,17 @@ class _LazyCoefTags(dict):
     RPC, through remote-attach tunnels); most consumers — bootstrap
     pipelines that re-apply maps on device — never read ``coef_list``, so
     the fetch is deferred until something actually asks for the host
-    arrays. All read accessors (including iteration/len/contains, so the
-    dict is indistinguishable from an eager one) materialize first;
-    after that this behaves as a plain dict holding numpy rows, matching
-    the reference's eager ``coef_list`` tag (reference
-    qp/featlinearmap.py:391).
+    arrays. Python-level read accessors (getitem/get/contains,
+    iteration/len, keys/items/values, ==, copy, pop/setdefault)
+    materialize first; after that this behaves as a plain dict holding
+    numpy rows, matching the reference's eager ``coef_list`` tag
+    (reference qp/featlinearmap.py:391).
+
+    Known caveat: CPython's C-level dict fast paths bypass overridden
+    accessors on dict SUBCLASSES — ``dict(tags)`` / ``{**tags}`` /
+    ``json.dumps(tags)`` copy the raw storage and will lack a
+    not-yet-materialized ``coef_list``. Call ``tags.copy()`` (overridden,
+    materializes) or read ``tags["coef_list"]`` once before such uses.
     """
 
     def __init__(self, coefs_dev, base: dict) -> None:
@@ -1319,8 +1325,8 @@ class _LazyCoefTags(dict):
     def _materialize(self) -> None:
         dev = self.__dict__.get("_coefs_dev")
         if dev is not None:
-            super().__setitem__("coef_list", list(np.asarray(dev)))
             self._coefs_dev = None
+            super().__setitem__("coef_list", list(np.asarray(dev)))
 
     def __getitem__(self, key):
         if key == "coef_list":
@@ -1336,6 +1342,37 @@ class _LazyCoefTags(dict):
         if key == "coef_list":
             self._materialize()
         return super().__contains__(key)
+
+    def __setitem__(self, key, value) -> None:
+        if key == "coef_list":
+            # a user-assigned value must win: cancel the pending fetch so
+            # a later read does not clobber it with the device copy
+            self._coefs_dev = None
+        super().__setitem__(key, value)
+
+    def __eq__(self, other):
+        self._materialize()
+        return super().__eq__(other)
+
+    __hash__ = None  # dicts are unhashable; keep that after defining __eq__
+
+    def copy(self):
+        self._materialize()
+        return dict(self)
+
+    def pop(self, key, *default):
+        if key == "coef_list":
+            self._materialize()
+        return super().pop(key, *default)
+
+    def popitem(self):
+        self._materialize()
+        return super().popitem()
+
+    def setdefault(self, key, default=None):
+        if key == "coef_list":
+            self._materialize()
+        return super().setdefault(key, default)
 
     def __iter__(self):
         self._materialize()

@@ -4,14 +4,17 @@ On remote-attached devices every ``device_put`` is its own RPC with a
 ~1-2 ms floor, so repeatedly fitting over one system pays more transport
 re-uploading its constant matrices and scalars than it does computing.
 These helpers memoize small host constants by content so repeat calls
-reuse the device buffer. Intended for SMALL arrays (maps, labels,
-centers — the key hashes the full buffer); never route trajectories
-through here.
+reuse the device buffer. Keys are (shape, dtype, blake2b digest) — one
+hashing pass per call, CONSTANT key memory — so sweep-scale operands
+(a ~26 MB onehot at solvated geometry) cost a rehash per call but never
+pin their host bytes in the cache. Never route trajectories through
+here (content-hashing a trajectory per fit would dominate).
 
 No reference counterpart: the reference's in-process CUDA devices make
 uploads nanosecond-scale (reference qp/qplinear.py simply rebuilds its
 operands per solve).
 """
+import hashlib
 from typing import Optional
 
 import jax
@@ -34,7 +37,12 @@ def device_const(arr, dtype: Optional[np.dtype] = None) -> jax.Array:
     integer/bool label arrays from being silently floated.
     """
     host = np.asarray(arr) if dtype is None else np.asarray(arr, dtype=dtype)
-    key = (host.tobytes(), host.shape, str(host.dtype))
+    # digest, not raw bytes: a tobytes() key would retain a full host copy
+    # of every cached constant for the cache's lifetime (tens of MB per
+    # sweep-scale system) — the digest keeps content addressing at
+    # constant key size
+    digest = hashlib.blake2b(host.tobytes(), digest_size=16).digest()
+    key = (digest, host.shape, str(host.dtype))
     hit = _CONST_CACHE.pop(key, None)
     if hit is not None:
         _CONST_CACHE[key] = hit  # reinsert = most-recently-used

@@ -29,6 +29,7 @@ All warm-up entry points are synchronization-safe: they only touch the
 global (thread-safe) jit caches and dispatch throwaway device work.
 """
 
+import inspect
 import threading
 import time
 from typing import Optional, Sequence
@@ -54,6 +55,20 @@ class WarmupHandle:
     """
 
     def __init__(self, target, label: str) -> None:
+        # Fail LOUD at construction if the target cannot accept the phases
+        # dict: a zero-argument target written against the old sniffing
+        # protocol would otherwise TypeError inside the thread, be recorded
+        # on self.error, and silently skip the warm-up — a fresh process
+        # then pays the full cold start with no visible failure.
+        try:
+            inspect.signature(target).bind(dict())
+        except TypeError as e:
+            raise TypeError(
+                f"warm-up target for {label!r} must accept one positional "
+                f"argument (the phases dict); got {target!r}: {e}"
+            ) from e
+        except ValueError:
+            pass  # builtins / C callables without introspectable signatures
         self.label = label
         self.started_at = time.perf_counter()
         self.elapsed: Optional[float] = None

@@ -72,6 +72,11 @@ def _meter_compile_rpcs() -> None:
 # persistent-cache keys that MISSED (compiled instead of loading) this
 # process; BENCH_CACHE_AUDIT=1 turns any miss into a loud failure
 _CACHE_MISSES: list = []
+# whether the get_executable_and_time hook installed / ever fired — the
+# audit must not report green when it never watched anything (private-API
+# drift or a disabled persistent cache would otherwise pass vacuously)
+_CACHE_TRACE_INSTALLED = False
+_CACHE_TRACE_OBSERVED = False
 
 
 def _trace_cache_accesses() -> None:
@@ -92,7 +97,9 @@ def _trace_cache_accesses() -> None:
     audit = os.environ.get("BENCH_CACHE_AUDIT", "0") == "1"
     if not path and not audit:
         return
-    # private-API patch: degrade to untraced/unaudited rather than crash
+    # private-API patch: degrade to untraced/unaudited rather than crash —
+    # but RECORD the degradation so the audit gate fails instead of
+    # certifying a run it never observed
     try:
         import jax._src.compilation_cache as cc
 
@@ -102,6 +109,8 @@ def _trace_cache_accesses() -> None:
         return
 
     def traced(cache_key, *a, **k):
+        global _CACHE_TRACE_OBSERVED
+        _CACHE_TRACE_OBSERVED = True
         out = orig(cache_key, *a, **k)
         hit = out[0] is not None
         if not hit:
@@ -112,6 +121,8 @@ def _trace_cache_accesses() -> None:
         return out
 
     cc.get_executable_and_time = traced
+    global _CACHE_TRACE_INSTALLED
+    _CACHE_TRACE_INSTALLED = True
 
 
 def _cache_audit_gate() -> None:
@@ -126,6 +137,30 @@ def _cache_audit_gate() -> None:
     """
     if os.environ.get("BENCH_CACHE_AUDIT", "0") != "1":
         return
+    if not (_CACHE_TRACE_INSTALLED and _CACHE_TRACE_OBSERVED):
+        # refusing to certify: the hook never installed (jax private API
+        # moved) or never fired (persistent cache disabled), so every
+        # program may have compiled fresh without being counted
+        _emit(
+            "cache_audit_misses",
+            -1.0,
+            extra={
+                "unit": "misses",
+                "vs_baseline": 0.0,
+                "error": "cache_audit_not_engaged",
+                "detail": (
+                    "audit hook "
+                    + (
+                        "never fired (persistent compile cache disabled?)"
+                        if _CACHE_TRACE_INSTALLED
+                        else "could not install (jax private API moved?)"
+                    )
+                    + " — cannot certify cache coverage"
+                ),
+            },
+        )
+        sys.stdout.flush()
+        sys.exit(4)
     if not _CACHE_MISSES:
         log("cache audit: OK (0 misses)")
         return
@@ -133,6 +168,8 @@ def _cache_audit_gate() -> None:
         "cache_audit_misses",
         float(len(_CACHE_MISSES)),
         extra={
+            "unit": "misses",
+            "vs_baseline": 0.0,
             "error": "cache_audit_failed",
             "detail": (
                 f"{len(_CACHE_MISSES)} program(s) compiled instead of "

@@ -648,3 +648,41 @@ def test_fused_blocked_mesh_matches_single():
     np.testing.assert_allclose(
         np.asarray(f_sharded), np.asarray(f_single), atol=2e-3
     )
+
+
+def test_lazy_coef_tags_mutators_and_equality():
+    """_LazyCoefTags mutator/equality semantics: a user-assigned coef_list
+    must win over the pending device fetch, pop/setdefault/== must
+    materialize first, and copy() returns a plain dict with the key."""
+    import numpy as np
+
+    from aggforce_tpu.qp.fusedfeat import _LazyCoefTags
+
+    dev = np.arange(6.0, dtype=np.float32).reshape(2, 3)
+
+    # user assignment cancels the pending fetch (no later clobber)
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    t["coef_list"] = ["mine"]
+    assert t["coef_list"] == ["mine"]
+    assert t._coefs_dev is None
+
+    # pop materializes (no KeyError) and removes the key
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    popped = t.pop("coef_list")
+    assert len(popped) == 2 and "coef_list" not in t
+
+    # setdefault materializes: the device rows win over the default
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    got = t.setdefault("coef_list", ["default"])
+    np.testing.assert_array_equal(np.stack(got), dev)
+
+    # == materializes first, so a not-yet-fetched tags dict is not
+    # spuriously unequal to an eager dict missing nothing but coef_list
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    assert t != {"solver_resid": 0.5}  # eager dict WITHOUT coef_list
+    assert t._coefs_dev is None  # the comparison materialized
+
+    # copy() materializes and returns a plain dict
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    c = t.copy()
+    assert type(c) is dict and "coef_list" in c
