@@ -326,9 +326,15 @@ def run_sweep() -> None:
     from aggforce_tpu.trajectory import Trajectory
     from aggforce_tpu.utils.synth import synthesize_trajectory_device
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "100000"))
-    n_atoms = int(os.environ.get("BENCH_ATOMS", "3000"))
     streamed = os.environ.get("BENCH_SWEEP_STREAMED", "0") == "1"
+    # streamed default is smaller: its source is HOST-synthesized (the mode
+    # models a multi-host host-resident stream) and this bench host's
+    # single-thread RAM path is slow enough (~20 MB/s big gathers, measured)
+    # that a 100k-frame host synthesis takes >10 minutes; the mode is
+    # tunnel-bandwidth-bound, so 20k frames measures the same stream rate
+    default_frames = "20000" if streamed else "100000"
+    n_frames = int(os.environ.get("BENCH_FRAMES", default_frames))
+    n_atoms = int(os.environ.get("BENCH_ATOMS", "3000"))
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
     rng = np.random.default_rng(0)
@@ -351,18 +357,27 @@ def run_sweep() -> None:
         # the multi-host composition run on one process
         from aggforce_tpu.io import TrajectoryStream, qp_linear_map_streamed
         from aggforce_tpu.parallel.mesh import make_mesh
+        from aggforce_tpu.utils.synth import synthesize_trajectory
 
         mesh = make_mesh()
         log(f"streamed sweep over {mesh.devices.size} device(s)")
-        coords_h = np.asarray(coords)
-        forces_h = np.asarray(forces)
+        # the streamed mode models a HOST-resident source (multi-host
+        # composition), so synthesize the host twin directly — fetching the
+        # device fixture back (np.asarray on 2 x 3.6 GB) funnels ~7 GB
+        # through the ~100 MB/s tunnel and has killed the client outright
+        t0 = time.perf_counter()
+        coords_h, forces_h = synthesize_trajectory(
+            base, groups, n_frames, seed=1, motion_scale=0.02
+        )
+        log(f"host fixture synthesis: {time.perf_counter() - t0:.3f}s")
         stream = TrajectoryStream.from_arrays(
             coords_h, forces_h, chunk_size=4096
         )
 
     def fit():
         t0 = time.perf_counter()
-        constraints = guess_pairwise_constraints(coords[:256])
+        det_coords = coords_h[:256] if streamed else coords[:256]
+        constraints = guess_pairwise_constraints(det_coords)
         log(f"  constraint detection: {time.perf_counter() - t0:.3f}s "
             f"({len(constraints)} pairs)")
         t0 = time.perf_counter()

@@ -35,5 +35,6 @@ run static BENCH_MODE=static
 run gauss BENCH_MODE=gauss
 run cv BENCH_MODE=cv
 run sweep BENCH_MODE=sweep
+run sweepstreamed BENCH_MODE=sweep BENCH_SWEEP_STREAMED=1
 run sweepfeat BENCH_MODE=sweep BENCH_SWEEP_FEAT=1
 echo "ALL DONE $(date)" >> /tmp/repop_progress.log
