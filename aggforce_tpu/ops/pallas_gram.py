@@ -282,13 +282,32 @@ def unpack_gram(gram_pad: jax.Array, g: int, n_basis: int) -> jax.Array:
 
     Kernel column for basis k of group gi sits at G_pad + k*G_pad + gi; the
     canonical fused layout expects g + gi*n_basis + k.
+
+    Implemented as reshape/slice/transpose/concat — NOT as the equivalent
+    double fancy-index ``gram_pad[:, idx[:, None], idx[None, :]]``: XLA
+    lowers that to a per-element gather, which a device profile showed
+    costing ~1.0 s per 6-site block at sweep scale (K_pad ~ 9k; 56% of the
+    whole fit) where the same permutation as blocked data movement is
+    HBM-bandwidth (~tens of ms). The permutation is identical: both axes
+    are reordered by [0..g-1] ++ [G_pad*(k+1) + gi for gi, then k].
     """
-    g_pad = gram_pad.shape[-1] // (1 + n_basis)
-    gi = jnp.arange(g)
-    kk = jnp.arange(n_basis)
-    basis_idx = (g_pad + kk[None, :] * g_pad + gi[:, None]).reshape(-1)
-    idx = jnp.concatenate([jnp.arange(g), basis_idx])
-    return gram_pad[:, idx[:, None], idx[None, :]]
+    s = gram_pad.shape[0]
+    n = gram_pad.shape[-1]
+    g_pad = n // (1 + n_basis)
+    m = g * (1 + n_basis)
+
+    def permute_cols(x):  # reorder the LAST axis; x (s, r, n) -> (s, r, m)
+        r = x.shape[1]
+        blocks = x.reshape(s, r, 1 + n_basis, g_pad)[..., :g]
+        id_cols = blocks[:, :, 0, :]  # (s, r, g)
+        basis = jnp.swapaxes(blocks[:, :, 1:, :], 2, 3)  # (s, r, g, n_basis)
+        return jnp.concatenate(
+            [id_cols, basis.reshape(s, r, g * n_basis)], axis=-1
+        )
+
+    cols = permute_cols(gram_pad)  # (s, n, m)
+    rows = permute_cols(jnp.swapaxes(cols, 1, 2))  # (s, m, m)
+    return jnp.swapaxes(rows, 1, 2)
 
 
 def _gram_tiled_kernel(

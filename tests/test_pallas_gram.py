@@ -166,3 +166,22 @@ def test_pallas_tiled_gram_matches_oracle(packed):
     )
     scale = np.abs(expect).max() + 1.0
     np.testing.assert_allclose(got, expect, atol=3e-4 * scale)
+
+
+def test_unpack_gram_matches_index_formula():
+    """The reshape/transpose/concat unpack must be bit-identical to the
+    index-formula permutation it replaces (the double fancy-index lowers
+    to a per-element gather on TPU — ~1 s per sweep-scale site block)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aggforce_tpu.ops.pallas_gram import unpack_gram
+
+    for g, nb, g_pad, s in [(5, 3, 8, 2), (17, 7, 32, 3), (16, 4, 16, 1)]:
+        n = (1 + nb) * g_pad
+        x = np.random.default_rng(g).normal(size=(s, n, n)).astype(np.float32)
+        got = np.asarray(unpack_gram(jnp.asarray(x), g, nb))
+        gi, kk = np.arange(g), np.arange(nb)
+        basis_idx = (g_pad + kk[None, :] * g_pad + gi[:, None]).reshape(-1)
+        idx = np.concatenate([np.arange(g), basis_idx])
+        np.testing.assert_array_equal(got, x[:, idx[:, None], idx[None, :]])
