@@ -341,8 +341,12 @@ def run_sweep() -> None:
     base = rng.normal(scale=1.5, size=(n_atoms, 3))
     groups = [frozenset((i, i + 1)) for i in range(0, n_atoms // 2, 2)]
     t0 = time.perf_counter()
+    # streamed mode consumes the HOST fixture; the device fixture is then
+    # only the final 64-frame finiteness check, so synthesize just those
+    # frames instead of holding the full (n_frames, N, 3) pair in HBM
+    dev_frames = 64 if streamed else n_frames
     coords, forces = synthesize_trajectory_device(
-        base, groups, n_frames, seed=1, motion_scale=0.02
+        base, groups, dev_frames, seed=1, motion_scale=0.02
     )
     jax.block_until_ready((coords, forces))
     log(f"device fixture synthesis: {time.perf_counter() - t0:.3f}s")

@@ -172,11 +172,6 @@ def test_unpack_gram_matches_index_formula():
     """The reshape/transpose/concat unpack must be bit-identical to the
     index-formula permutation it replaces (the double fancy-index lowers
     to a per-element gather on TPU — ~1 s per sweep-scale site block)."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    from aggforce_tpu.ops.pallas_gram import unpack_gram
-
     for g, nb, g_pad, s in [(5, 3, 8, 2), (17, 7, 32, 3), (16, 4, 16, 1)]:
         n = (1 + nb) * g_pad
         x = np.random.default_rng(g).normal(size=(s, n, n)).astype(np.float32)
