@@ -22,11 +22,31 @@ so the top block is exact). All entries are jittable and vmap-compatible
 (batched GEMMs stay batched).
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# GEMM precision for every panel/trailing update in this module. TPU f32
+# matmuls decompose into bf16 passes: "highest" = 6 passes (beyond-f32
+# cross terms), "high" = 3 (~f32-equivalent: relative error ~2e-6, same
+# order as f32 arithmetic eps), "default" = 1 (bf16 mantissa, ~4e-3). The
+# blocked kernels' GEMMs carry the bulk of the solve FLOPs at sweep scale,
+# so this is a direct throughput lever. Measured at the sweep geometry
+# (Sb=6, n=9000, nb=512, tools/profile_sweepsolve.py, one v5e window):
+# direct-Z route (factor + Z/Schur/refine tail) 0.427 s/block at
+# "highest", 0.335 at "high", 0.306 at "default"; post-refinement
+# constraint residuals 8.6e-08 / 7.5e-09 / 2.6e-08 — the Schur tail's
+# iterative refinement absorbs the coarser GEMMs. Default is "high":
+# free 21% over "highest" with f32-class trailing updates; "default"'s
+# extra 7% rides on 8-bit-mantissa updates of S = A22 - L21 L21^T, which
+# can cost positive definiteness on ill-conditioned real Grams (the lazy
+# shift then swaps in delta_fallback — a different, worse-regularized
+# problem). AGGFORCE_BLOCKED_PRECISION overrides (read at import; set it
+# before importing aggforce_tpu).
+_GEMM_PRECISION = os.environ.get("AGGFORCE_BLOCKED_PRECISION", "high")
 
 __all__ = [
     "cholesky_blocked",
@@ -91,7 +111,7 @@ def cholesky_blocked(M: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
         L = lax.dynamic_update_slice(L, panel + Ljj_tall, (0, c0))
         # trailing update touches only rows/cols >= c0+nb (panel is zero
         # elsewhere), so a full GEMM is safe and keeps one fused kernel
-        A = A - jnp.matmul(panel, panel.T, precision="highest")
+        A = A - jnp.matmul(panel, panel.T, precision=_GEMM_PRECISION)
         return A, L
 
     L0 = jnp.zeros_like(M_p)
@@ -123,7 +143,7 @@ def cholesky_recursive(
     log2(n/leaf), so a 9216-pad factor adds ~3 GEMM/solve shapes.
 
     Numerics: same error class as the panel loop (identical leaf
-    arithmetic, GEMM updates at precision="highest"); non-finite inputs
+    arithmetic, GEMM updates at precision=_GEMM_PRECISION); non-finite inputs
     propagate. ``leaf`` keeps small problems on the single-loop kernel
     where recursion overhead (transposes, concats) would dominate.
     """
@@ -145,7 +165,7 @@ def cholesky_recursive(
     # L21 L11^T = A21  <=>  L11 Y = A21^T with L21 = Y^T
     Y = tri_solve_blocked(L11, A21.T, nb=nb)
     L21 = Y.T
-    S = A22 - jnp.matmul(L21, L21.T, precision="highest")
+    S = A22 - jnp.matmul(L21, L21.T, precision=_GEMM_PRECISION)
     L22 = cholesky_recursive(S, nb=nb, leaf=leaf)
     top = jnp.concatenate(
         [L11, jnp.zeros((h, n - h), dtype=M.dtype)], axis=-1
@@ -193,7 +213,7 @@ def tri_solve_blocked(
         # subtract this panel's contribution from the remaining rows
         col = lax.dynamic_slice(L, (0, c0), (n_pad, nb))
         col = jnp.where((rows >= c0 + nb)[:, None], col, 0.0)
-        R = R - jnp.matmul(col, Yj, precision="highest")
+        R = R - jnp.matmul(col, Yj, precision=_GEMM_PRECISION)
         return R, Y
 
     def bwd(i, carry):
@@ -211,7 +231,7 @@ def tri_solve_blocked(
         X = lax.dynamic_update_slice(X, Xj, (c0, 0))
         row = lax.dynamic_slice(L, (c0, 0), (nb, n_pad))  # L[c0:c0+nb, :]
         row = jnp.where((rows < c0)[None, :], row, 0.0)
-        R = R - jnp.matmul(row.T, Xj, precision="highest")
+        R = R - jnp.matmul(row.T, Xj, precision=_GEMM_PRECISION)
         return R, X
 
     body = bwd if transpose_a else fwd
@@ -283,9 +303,9 @@ def tri_inv_blocked(L: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
         c0 = i * nb
         Lrow = lax.dynamic_slice(L_p, (c0, 0), (nb, n_pad))
         Lrow = jnp.where((cols < c0)[None, :], Lrow, 0.0)
-        prod = jnp.matmul(Lrow, X, precision="highest")  # (nb, n_pad)
+        prod = jnp.matmul(Lrow, X, precision=_GEMM_PRECISION)  # (nb, n_pad)
         Di = lax.dynamic_slice(dinv, (i, 0, 0), (1, nb, nb))[0]
-        Xrow = -jnp.matmul(Di, prod, precision="highest")
+        Xrow = -jnp.matmul(Di, prod, precision=_GEMM_PRECISION)
         # keep the diagonal block (Xrow is zero at and right of it)
         Xrow = Xrow + lax.dynamic_update_slice(
             jnp.zeros((nb, n_pad), dtype=L.dtype), Di, (0, c0)
@@ -306,4 +326,4 @@ def spd_inv_from_chol(L: jax.Array, nb: int = _DEFAULT_BLOCK) -> jax.Array:
     identity.
     """
     linv = tri_inv_blocked(L, nb=nb)
-    return jnp.matmul(linv.T, linv, precision="highest")
+    return jnp.matmul(linv.T, linv, precision=_GEMM_PRECISION)

@@ -80,6 +80,7 @@ dtail_jit = jax.jit(lambda c, a, b: _shared_schur_stage(
 out = timed(
     "Z + Schur + refinement tail (solve Z)", lambda: dtail_jit(cholf, A, B)
 )
+print(f"  max constraint residual (solve Z): {float(jnp.max(out[1])):.3e}")
 jax.tree.map(lambda x: x.delete(), out)
 cholf.delete()
 
@@ -95,4 +96,7 @@ minv = timed("L^-T L^-1 GEMM", lambda: gemm_jit(linv))
 linv.delete()
 tail_jit = jax.jit(lambda mi, a, b: _shared_schur_stage(
     mi, a, b, 1e-6, 3e-4, 40))
-timed("Z + Schur + refinement tail (inverse Z)", lambda: tail_jit(minv, A, B))
+out = timed(
+    "Z + Schur + refinement tail (inverse Z)", lambda: tail_jit(minv, A, B)
+)
+print(f"  max constraint residual (inverse Z): {float(jnp.max(out[1])):.3e}")
