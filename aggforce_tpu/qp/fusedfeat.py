@@ -1937,10 +1937,62 @@ def fused_gb_linear_map_blocked(
     )
     solver_delta_dev = _device_scalar(solver_delta)
     # AGGFORCE_PROF_BLOCKS=1: per-block wall clocks to stderr (dispatch ->
-    # sync, attributing the fit's device floor block by block)
+    # drain; under the pipeline a drain overlaps the NEXT block's device
+    # execution, so steady-state walls track the device program, not the
+    # host tail)
     prof_blocks = os.environ.get("AGGFORCE_PROF_BLOCKS", "0") == "1"
+    # Depth-1 software pipeline: dispatch block k+1 (async XLA dispatch)
+    # BEFORE fetching block k's results, so the per-block host tail — the
+    # coefficient-fetch RPC, the numpy escalation check, and the next
+    # block's selector upload — overlaps device compute instead of idling
+    # the chip between programs. The TPU still runs one program at a time;
+    # the overlap window just keeps block k's output buffers (~Sb*K^2
+    # floats, the Gram kept for possible f64 escalation) alive while block
+    # k+1 executes, ~+40% peak HBM at the sweep geometry. Sb is chosen
+    # with that headroom (site_block=8 already OOMs unpipelined);
+    # AGGFORCE_SWEEP_PIPELINE=0 restores the strictly-serial loop.
+    pipelined = os.environ.get("AGGFORCE_SWEEP_PIPELINE", "1") == "1"
     coefs_blocks = []
     resid_max = 0.0
+
+    def _drain(entry) -> None:
+        nonlocal resid_max
+        idx, coefs_b, resid_b, gram_b, rows_b, b_b, t_block0, blk = entry
+        coefs_np, resid_np = jax.device_get((coefs_b, resid_b))
+        coefs_np = np.array(coefs_np)[: len(idx)]
+        resid_np = np.array(resid_np)[: len(idx)]
+        bad = ~np.isfinite(coefs_np).all(axis=1) | ~(resid_np <= resid_tol)
+        if bad.any():  # NaN-aware
+            from ..ops.eqp import eqp_solve_host
+
+            gram_h, rows_h, b_h = jax.device_get((gram_b, rows_b, b_b))
+            for s_loc in np.nonzero(bad)[0]:
+                coefs_np[s_loc] = eqp_solve_host(
+                    np.asarray(gram_h[s_loc], dtype=np.float64),
+                    np.asarray(rows_h[s_loc], dtype=np.float64),
+                    np.asarray(b_h[s_loc], dtype=np.float64)[:, None],
+                )[:, 0].astype(np.float32)
+                rn = (
+                    np.linalg.norm(rows_h[s_loc], axis=1, keepdims=True)
+                    + 1e-300
+                )
+                resid_np[s_loc] = np.max(
+                    np.abs(
+                        b_h[s_loc] / rn[:, 0]
+                        - (rows_h[s_loc] / rn) @ coefs_np[s_loc]
+                    )
+                )
+        coefs_blocks.append(coefs_np)
+        resid_max = max(resid_max, float(resid_np.max()))
+        if prof_blocks:
+            print(
+                f"[siteblock {blk}] "
+                f"{time.perf_counter() - t_block0:.3f}s "
+                f"(sites {idx[0]}-{idx[-1]}, resid {float(resid_np.max()):.2e})",
+                file=sys.stderr,
+            )
+
+    pending = None
     for s0 in range(0, s_all, step_sites):
         t_block0 = time.perf_counter() if prof_blocks else 0.0
         idx = np.arange(s0, min(s0 + step_sites, s_all))
@@ -1970,39 +2022,19 @@ def fused_gb_linear_map_blocked(
             coefs_b, resid_b, gram_b, rows_b, b_b = _fit_coefs_siteblock_mesh(
                 *fit_args, **fit_kwargs, mesh=mesh
             )
-        coefs_np, resid_np = jax.device_get((coefs_b, resid_b))
-        coefs_np = np.array(coefs_np)[: len(idx)]
-        resid_np = np.array(resid_np)[: len(idx)]
-        bad = ~np.isfinite(coefs_np).all(axis=1) | ~(resid_np <= resid_tol)
-        if bad.any():  # NaN-aware
-            from ..ops.eqp import eqp_solve_host
-
-            gram_h, rows_h, b_h = jax.device_get((gram_b, rows_b, b_b))
-            for s_loc in np.nonzero(bad)[0]:
-                coefs_np[s_loc] = eqp_solve_host(
-                    np.asarray(gram_h[s_loc], dtype=np.float64),
-                    np.asarray(rows_h[s_loc], dtype=np.float64),
-                    np.asarray(b_h[s_loc], dtype=np.float64)[:, None],
-                )[:, 0].astype(np.float32)
-                rn = (
-                    np.linalg.norm(rows_h[s_loc], axis=1, keepdims=True)
-                    + 1e-300
-                )
-                resid_np[s_loc] = np.max(
-                    np.abs(
-                        b_h[s_loc] / rn[:, 0]
-                        - (rows_h[s_loc] / rn) @ coefs_np[s_loc]
-                    )
-                )
-        coefs_blocks.append(coefs_np)
-        resid_max = max(resid_max, float(resid_np.max()))
-        if prof_blocks:
-            print(
-                f"[siteblock {s0 // step_sites}] "
-                f"{time.perf_counter() - t_block0:.3f}s "
-                f"(sites {idx[0]}-{idx[-1]}, resid {float(resid_np.max()):.2e})",
-                file=sys.stderr,
-            )
+        entry = (
+            idx, coefs_b, resid_b, gram_b, rows_b, b_b,
+            t_block0, s0 // step_sites,
+        )
+        if pending is not None:
+            _drain(pending)
+            pending = None
+        if pipelined:
+            pending = entry
+        else:
+            _drain(entry)
+    if pending is not None:
+        _drain(pending)
     coefs_all = np.concatenate(coefs_blocks, axis=0)
     if not np.all(np.isfinite(coefs_all)):
         raise ValueError("Map optimization failed.")

@@ -560,6 +560,53 @@ def test_fused_blocked_matches_full(waterdimer):
     )
 
 
+def test_fused_blocked_pipeline_matches_serial(waterdimer, monkeypatch):
+    """Depth-1 pipelined block loop == strictly-serial loop, bit for bit.
+
+    The pipeline only reorders HOST work (dispatch block k+1 before
+    draining block k); every device program and every escalation decision
+    is identical, so coefficients must match exactly — including when an
+    impossible tolerance routes every block through the f64 escalation
+    oracle inside the drain.
+    """
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        fused_gb_linear_map_blocked,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    coords = waterdimer["coords"].astype(np.float32)
+    forces = waterdimer["forces"].astype(np.float32)
+    traj = Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces))
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    constraints = {
+        frozenset((0, 1)), frozenset((0, 2)), frozenset((1, 2)),
+        frozenset((3, 4)), frozenset((3, 5)), frozenset((4, 5)),
+    }
+    kw = dict(
+        kbt=0.6955215, spec=GBFeatSpec(outer=1.0, n_basis=5),
+        constraints=constraints, l2_regularization=10.0,
+        n_constraint_frames=8, site_block=1,
+    )
+    for resid_tol in (1e-4, -1.0):  # converged and forced-escalation legs
+        monkeypatch.setenv("AGGFORCE_SWEEP_PIPELINE", "1")
+        piped = fused_gb_linear_map_blocked(
+            traj, cmap, constraint_rng=np.random.default_rng(0),
+            resid_tol=resid_tol, **kw
+        )
+        monkeypatch.setenv("AGGFORCE_SWEEP_PIPELINE", "0")
+        serial = fused_gb_linear_map_blocked(
+            traj, cmap, constraint_rng=np.random.default_rng(0),
+            resid_tol=resid_tol, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(piped.force_map.tags["coef_list"]),
+            np.asarray(serial.force_map.tags["coef_list"]),
+        )
+
+
 def test_fused_blocked_pallas_matches_scan():
     """Gram-tiled Pallas blocked fit == XLA-scan blocked fit.
 
