@@ -48,6 +48,17 @@ from jax import lax
 # before importing aggforce_tpu).
 _GEMM_PRECISION = os.environ.get("AGGFORCE_BLOCKED_PRECISION", "high")
 
+# tri_solve_blocked panel scheme: "1" batch-inverts the diagonal panels
+# once and substitutes with GEMMs (trsm-via-inverted-diagonal-blocks);
+# "0" (default) keeps one exact nb-row-sequential triangular_solve per
+# panel. Measured at the sweep geometry (Sb=6, n=9000, nb=512,
+# tools/profile_sweepsolve.py, matched v5e windows): the dinv scheme is
+# ~7% SLOWER (factor 0.205->0.216 s, Z-solve 0.126->0.138 s) — the
+# per-panel solves batched over sites are already latency-cheap, and the
+# extra batched inversion + per-panel dinv slicing outweigh them. Kept as
+# a knob for hardware where trsm serialization dominates.
+_TRISOLVE_DINV = os.environ.get("AGGFORCE_TRISOLVE_DINV", "0") == "1"
+
 __all__ = [
     "cholesky_blocked",
     "cholesky_recursive",
@@ -185,9 +196,20 @@ def tri_solve_blocked(
 
     One half of :func:`cho_solve_blocked`, exposed on its own because the
     recursive Cholesky's off-diagonal panel (L21 = A21 L11^-T) is exactly
-    one forward substitution against a transposed right-hand side. One
-    (nb, nb) triangular-solve instance compiled per call; panel updates
-    are GEMMs.
+    one forward substitution against a transposed right-hand side.
+
+    Unlike the factorization's panel loop (whose diagonal factors only
+    exist as the loop runs), here L is fully known up front — so the k
+    diagonal (nb, nb) panels are inverted in ONE batched
+    ``triangular_solve`` (nb sequential row-steps total, the same move as
+    :func:`tri_inv_blocked`), and every panel step of the substitution
+    becomes a GEMM ``Dinv_j @ R_j`` instead of another nb-row-sequential
+    solve. This is the standard trsm-via-inverted-diagonal-blocks scheme;
+    per-panel error grows from O(eps) to O(eps * cond(L_jj)), the same
+    class the callers' residual-refinement loops already absorb (the
+    equilibrated QP factors keep cond(L_jj) small). Measured SLOWER than
+    the exact per-panel solves at the sweep geometry (see module header),
+    so AGGFORCE_TRISOLVE_DINV defaults off.
     """
     squeeze = B.ndim == 1
     if squeeze:
@@ -201,14 +223,32 @@ def tri_solve_blocked(
     k = n_pad // nb
     rows = jnp.arange(n_pad)
 
+    if _TRISOLVE_DINV:
+        # (k, nb, nb) diagonal panels -> one batched inversion
+        blocks = L.reshape(k, nb, k, nb)
+        diag = jnp.moveaxis(jnp.diagonal(blocks, axis1=0, axis2=2), -1, 0)
+        eye = jnp.broadcast_to(jnp.eye(nb, dtype=L.dtype), (k, nb, nb))
+        dinv = lax.linalg.triangular_solve(
+            diag, eye, left_side=True, lower=True
+        )
+    else:
+        dinv = None
+
+    def _panel_solve(j, Rj, transpose):
+        if dinv is None:
+            Ljj = lax.dynamic_slice(L, (j * nb, j * nb), (nb, nb))
+            return lax.linalg.triangular_solve(
+                Ljj, Rj, left_side=True, lower=True, transpose_a=transpose
+            )
+        Di = lax.dynamic_slice(dinv, (j, 0, 0), (1, nb, nb))[0]
+        Di = Di.T if transpose else Di
+        return jnp.matmul(Di, Rj, precision=_GEMM_PRECISION)
+
     def fwd(j, carry):
         R, Y = carry  # R: running right-hand side, Y: solution of L Y = B
         c0 = j * nb
-        Ljj = lax.dynamic_slice(L, (c0, c0), (nb, nb))
         Rj = lax.dynamic_slice(R, (c0, 0), (nb, R.shape[1]))
-        Yj = lax.linalg.triangular_solve(
-            Ljj, Rj, left_side=True, lower=True
-        )
+        Yj = _panel_solve(j, Rj, transpose=False)
         Y = lax.dynamic_update_slice(Y, Yj, (c0, 0))
         # subtract this panel's contribution from the remaining rows
         col = lax.dynamic_slice(L, (0, c0), (n_pad, nb))
@@ -223,11 +263,8 @@ def tri_solve_blocked(
         R, X = carry
         j = k - 1 - i
         c0 = j * nb
-        Ljj = lax.dynamic_slice(L, (c0, c0), (nb, nb))
         Rj = lax.dynamic_slice(R, (c0, 0), (nb, R.shape[1]))
-        Xj = lax.linalg.triangular_solve(
-            Ljj, Rj, left_side=True, lower=True, transpose_a=True
-        )
+        Xj = _panel_solve(j, Rj, transpose=True)
         X = lax.dynamic_update_slice(X, Xj, (c0, 0))
         row = lax.dynamic_slice(L, (c0, 0), (nb, n_pad))  # L[c0:c0+nb, :]
         row = jnp.where((rows < c0)[None, :], row, 0.0)

@@ -154,3 +154,32 @@ def test_tri_solve_blocked_matches_lapack(transpose_a):
         lower=True, trans="T" if transpose_a else "N",
     )
     assert np.allclose(Y, ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("transpose_a", [False, True])
+def test_tri_solve_dinv_scheme_matches_exact(transpose_a, monkeypatch):
+    """AGGFORCE_TRISOLVE_DINV=1 panel scheme == exact panel solves.
+
+    The flag is read at import, so flip the module global and call the
+    unjitted function (the jit cache would otherwise serve the traced
+    default-scheme program for these shapes).
+    """
+    import aggforce_tpu.ops.blocked_chol as bc
+
+    n, n_rhs = 300, 7
+    M = _spd(n, seed=21)
+    L = np.linalg.cholesky(M.astype(np.float64)).astype(np.float32)
+    B = np.random.default_rng(22).normal(size=(n, n_rhs)).astype(np.float32)
+    monkeypatch.setattr(bc, "_TRISOLVE_DINV", True)
+    Y = np.asarray(
+        bc.tri_solve_blocked.__wrapped__(
+            jnp.asarray(L), jnp.asarray(B), nb=128, transpose_a=transpose_a
+        )
+    )
+    import scipy.linalg as sl
+
+    ref = sl.solve_triangular(
+        L.astype(np.float64), B.astype(np.float64),
+        lower=True, trans="T" if transpose_a else "N",
+    )
+    assert np.allclose(Y, ref, atol=2e-3, rtol=1e-3)
