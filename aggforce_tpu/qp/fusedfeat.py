@@ -1311,11 +1311,11 @@ class _LazyCoefTags(dict):
     numpy rows, matching the reference's eager ``coef_list`` tag
     (reference qp/featlinearmap.py:391).
 
-    Known caveat: CPython's C-level dict fast paths bypass overridden
-    accessors on dict SUBCLASSES — ``dict(tags)`` / ``{**tags}`` /
-    ``json.dumps(tags)`` copy the raw storage and will lack a
-    not-yet-materialized ``coef_list``. Call ``tags.copy()`` (overridden,
-    materializes) or read ``tags["coef_list"]`` once before such uses.
+    Because ``keys``/``items``/``__iter__``/``__len__`` are all overridden,
+    CPython's C-level copy paths also materialize: ``dict(tags)``,
+    ``{**tags}``, and ``json.dumps(tags)`` route through the overridden
+    iteration accessors on dict subclasses (verified on CPython 3.11/3.12),
+    so none of them can observe a missing ``coef_list``.
     """
 
     def __init__(self, coefs_dev, base: dict) -> None:
@@ -1349,16 +1349,6 @@ class _LazyCoefTags(dict):
             # a later read does not clobber it with the device copy
             self._coefs_dev = None
         super().__setitem__(key, value)
-
-    def __eq__(self, other):
-        self._materialize()
-        return super().__eq__(other)
-
-    __hash__ = None  # dicts are unhashable; keep that after defining __eq__
-
-    def copy(self):
-        self._materialize()
-        return dict(self)
 
     def pop(self, key, *default):
         if key == "coef_list":
@@ -1406,8 +1396,13 @@ class _LazyCoefTags(dict):
         self._materialize()
         return super().__eq__(other)
 
-    def __ne__(self, other) -> bool:
-        return not self.__eq__(other)
+    def __ne__(self, other):
+        # explicit because dict's C-level richcompare would otherwise
+        # handle != on the raw storage, bypassing the subclass __eq__
+        result = self.__eq__(other)
+        if result is NotImplemented:
+            return result
+        return not result
 
     __hash__ = None  # mutable mapping, same as dict
 

@@ -15,6 +15,7 @@ uploads nanosecond-scale (reference qp/qplinear.py simply rebuilds its
 operands per solve).
 """
 import hashlib
+import os
 from typing import Optional
 
 import jax
@@ -23,8 +24,15 @@ import numpy as np
 
 _CONST_CACHE: dict = {}  # insertion-ordered; LRU via pop+reinsert
 # sized for ~5 arrays per fitted system (fusedfeat's fit operands route
-# through here) x a dozen live systems; entries are small, HBM is not
+# through here) x a dozen live systems. Count alone is not a safe bound:
+# sweep-scale operands run tens of MB each (~26 MB onehot at solvated
+# geometry), so 64 of those would pin >1.5 GB of a 16 GB chip whose
+# site_block is already sized against an HBM budget — a byte cap evicts
+# LRU entries first (AGGFORCE_DEVCACHE_MB overrides, default 256 MB).
 _CONST_CACHE_MAX = 64
+_CONST_CACHE_MAX_BYTES = (
+    int(os.environ.get("AGGFORCE_DEVCACHE_MB", "256")) * 1024 * 1024
+)
 _SCALAR_CACHE: dict = {}
 _SCALAR_CACHE_MAX = 128
 
@@ -49,7 +57,11 @@ def device_const(arr, dtype: Optional[np.dtype] = None) -> jax.Array:
         return hit
     val = jnp.asarray(host)
     _CONST_CACHE[key] = val
-    while len(_CONST_CACHE) > _CONST_CACHE_MAX:
+    while len(_CONST_CACHE) > _CONST_CACHE_MAX or (
+        len(_CONST_CACHE) > 1
+        and sum(v.nbytes for v in _CONST_CACHE.values())
+        > _CONST_CACHE_MAX_BYTES
+    ):
         del _CONST_CACHE[next(iter(_CONST_CACHE))]
     return val
 

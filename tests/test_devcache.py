@@ -75,3 +75,32 @@ def test_fit_operand_cache_reuses_buffers():
     )
     assert ops3[0] is not ops1[0]
     assert ops3[1] is ops1[1]  # unchanged arrays keep their buffers
+
+
+def test_device_const_byte_cap_evicts_lru():
+    """The const cache evicts by total bytes, not only entry count, so
+    sweep-scale operands cannot pin unbounded HBM (review finding)."""
+    import aggforce_tpu.utils.devcache as dc
+
+    old_cache = dict(dc._CONST_CACHE)
+    old_cap = dc._CONST_CACHE_MAX_BYTES
+    try:
+        dc._CONST_CACHE.clear()
+        dc._CONST_CACHE_MAX_BYTES = 3 * 4096 * 4  # three f32 4096-vectors
+        keep = [
+            dc.device_const(np.full(4096, i, dtype=np.float32))
+            for i in range(5)
+        ]
+        assert len(dc._CONST_CACHE) <= 3
+        total = sum(v.nbytes for v in dc._CONST_CACHE.values())
+        assert total <= dc._CONST_CACHE_MAX_BYTES
+        # newest entry always survives, even alone above the cap
+        dc._CONST_CACHE.clear()
+        dc._CONST_CACHE_MAX_BYTES = 16
+        big = dc.device_const(np.zeros(4096, dtype=np.float32))
+        assert len(dc._CONST_CACHE) == 1
+        del keep, big
+    finally:
+        dc._CONST_CACHE_MAX_BYTES = old_cap
+        dc._CONST_CACHE.clear()
+        dc._CONST_CACHE.update(old_cache)

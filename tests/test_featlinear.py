@@ -733,3 +733,24 @@ def test_lazy_coef_tags_mutators_and_equality():
     t = _LazyCoefTags(dev, {"solver_resid": 0.5})
     c = t.copy()
     assert type(c) is dict and "coef_list" in c
+
+
+def test_lazy_coef_tags_ne_non_dict_and_c_level_copies():
+    """Review regressions: ``!=`` against non-dicts must not boolean-test
+    NotImplemented (tags != None was False), and C-level copy paths
+    (dict(tags), {**tags}) must materialize via the overridden iterators."""
+    import numpy as np
+
+    from aggforce_tpu.qp.fusedfeat import _LazyCoefTags
+
+    dev = np.arange(6.0, dtype=np.float32).reshape(2, 3)
+
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    assert (t != None) is True  # noqa: E711 — the regression under test
+    assert (t != 5) is True
+    assert (t == None) is False  # noqa: E711
+
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    assert "coef_list" in dict(t)
+    t = _LazyCoefTags(dev, {"solver_resid": 0.5})
+    assert "coef_list" in {**t}
