@@ -160,17 +160,31 @@ def _encode_fused_gb(fm: FusedGBMap, ar: _Archive) -> Dict[str, Any]:
             "clip": spec.clip,
             "include_id": spec.include_id,
         },
+        # scalar tags survive the round trip (solver_resid is the fit's
+        # observability metric); coef_list is NOT stored — it is the same
+        # data as ``coefs`` and is rebuilt on decode. Reading .get() here
+        # materializes a _LazyCoefTags, which is wanted: serialization IS
+        # a host-array demand.
+        "scalar_tags": {
+            k: float(v)
+            for k, v in fm.tags.items()
+            if isinstance(v, (int, float, np.floating, np.integer))
+        },
     }
 
 
 def _decode_fused_gb(node: Dict[str, Any], data) -> FusedGBMap:
+    coefs = data[node["coefs"]]
+    tags: Dict[str, Any] = dict(node.get("scalar_tags", {}))
+    tags["coef_list"] = list(np.asarray(coefs))
     return FusedGBMap(
-        coefs=data[node["coefs"]],
+        coefs=coefs,
         cmap_mat=data[node["cmap_mat"]],
         onehot=data[node["onehot"]],
         centers=data[node["centers"]],
         kbt=node["kbt"],
         spec=GBFeatSpec(**node["spec"]),
+        tags=tags,
     )
 
 

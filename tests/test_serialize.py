@@ -178,3 +178,40 @@ def test_fused_staged_map_roundtrip(tmp_path, rng):
     # the post augmenter's PRNG state round-trips, so draws coincide
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
+
+
+def test_fused_map_tags_survive_roundtrip(tmp_path):
+    """solver_resid (observability) and coef_list survive save/load for
+    FusedGBMap force maps — including maps packaged with _LazyCoefTags,
+    whose serialization is itself a host-array demand (review gap)."""
+    import jax.numpy as jnp
+
+    from aggforce_tpu.qp.fusedfeat import (
+        GBFeatSpec,
+        _LazyCoefTags,
+        fused_gb_linear_map_batch,
+    )
+    from aggforce_tpu.trajectory import Trajectory
+
+    rng = np.random.default_rng(0)
+    coords = rng.normal(size=(96, 6, 3)).astype(np.float32)
+    forces = rng.normal(size=(96, 6, 3)).astype(np.float32)
+    traj = Trajectory(coords=jnp.asarray(coords), forces=jnp.asarray(forces))
+    cmap = LinearMap([[0], [3]], n_fg_sites=6)
+    # loose resid_tol -> converged device path -> _LazyCoefTags packaging
+    t = fused_gb_linear_map_batch(
+        traj, cmap, seeds=[0], kbt=0.5,
+        spec=GBFeatSpec(outer=1.0, n_basis=3), constraints=set(),
+        l2_regularization=1e3, resid_tol=0.5,
+    )[0]
+    assert isinstance(t.force_map.tags, _LazyCoefTags)
+    path = str(tmp_path / "fused_tags.npz")
+    save_tmap(path, t)
+    t2 = load_tmap(path)
+    np.testing.assert_array_equal(
+        np.stack(t.force_map.tags["coef_list"]),
+        np.stack(t2.force_map.tags["coef_list"]),
+    )
+    assert t2.force_map.tags["solver_resid"] == pytest.approx(
+        t.force_map.tags["solver_resid"]
+    )
