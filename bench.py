@@ -627,45 +627,45 @@ def _emit(metric: str, value: float, extra=None) -> None:
 def _device_watchdog() -> None:
     """Fail loudly (one attributed JSON line) when the device never answers.
 
-    The axon tunnel occasionally goes down for extended windows; a bench
-    process then hangs forever inside the first ``jax.devices()`` RPC and
-    leaves NO artifact for the round. This daemon thread requires the
-    backend probe to succeed within ``BENCH_DEVICE_TIMEOUT`` seconds
-    (default 900 — generous enough for a merely-degraded tunnel, where
-    device listing still answers in seconds) or emits an error-attributed
-    JSON line and exits. Timings of successful runs are unaffected: the
-    probe runs concurrently with main()'s own first device use.
+    Two gates on one probe thread, each with a ``BENCH_DEVICE_TIMEOUT`` s
+    budget (default 900): (1) ``jax.devices()`` answers; (2) one trivial
+    jitted program completes a round trip — the degraded tunnel can answer
+    device listing instantly while every program RPC hangs, invisible to
+    a devices()-only gate. Either failure emits an error-attributed JSON
+    line and exits 3 instead of hanging with no artifact; probes run
+    concurrently with main()'s own first device use.
     """
     import threading
 
     timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900"))
     if timeout_s <= 0:
         return
-    ok = threading.Event()
+    ok_dev, ok_prog = threading.Event(), threading.Event()
 
     def probe():
         import jax
-
         jax.devices()
-        ok.set()
+        ok_dev.set()
+        if float(jax.jit(lambda a: a + 1.0)(jax.numpy.float32(1.0))) == 2.0:
+            ok_prog.set()
 
     threading.Thread(target=probe, daemon=True).start()
 
     def watch():
-        if not ok.wait(timeout_s):
-            _emit(
-                "featurized_qp_fit_frames_per_sec_per_chip",
-                0.0,
-                extra={
-                    "error": "device_unreachable",
-                    "detail": (
-                        f"jax.devices() did not answer within {timeout_s:.0f}s"
-                        " — accelerator tunnel down; no measurement possible"
-                    ),
-                },
-            )
-            sys.stdout.flush()
-            os._exit(3)
+        if ok_dev.wait(timeout_s) and ok_prog.wait(timeout_s):
+            return
+        which = "jax.devices()" if not ok_dev.is_set() else "first program"
+        _emit(
+            "featurized_qp_fit_frames_per_sec_per_chip",
+            0.0,
+            extra={
+                "error": "device_unreachable",
+                "detail": f"{which} did not complete within {timeout_s:.0f}s"
+                " — accelerator tunnel down/degraded; no measurement possible",
+            },
+        )
+        sys.stdout.flush()
+        os._exit(3)
 
     threading.Thread(target=watch, daemon=True).start()
 
