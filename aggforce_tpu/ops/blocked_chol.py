@@ -1,5 +1,9 @@
 """Compile-lean blocked Cholesky and triangular solves.
 
+Original TPU-side architecture with no reference counterpart: the
+reference delegates all linear algebra to scipy/OSQP on host
+(``/root/reference/src/aggforce/qp/qplinear.py:79-86``).
+
 XLA's TPU lowering of ``cholesky``/``triangular_solve`` unrolls the
 sequential substitution into straight-line code that grows with the matrix
 dimension: at n~700 a single batched multi-RHS ``cho_solve`` serializes to

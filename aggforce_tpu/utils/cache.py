@@ -1,5 +1,8 @@
 """Persistent compiled-executable cache configuration.
 
+Original TPU-side infrastructure with no reference counterpart (the
+reference runs eager numpy/OSQP on host and compiles nothing).
+
 On remote-attached accelerators, compiling a fit program through the
 remote compile service costs seconds to minutes; the persistent JAX
 compilation cache turns later processes' compiles into (much cheaper)
