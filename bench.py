@@ -548,24 +548,24 @@ def run_sweep_featurized() -> None:
 def _staged_device_traj(fix):
     """Stage the fixture into HBM via the resilient chunked staging path.
 
-    Wire dtype defaults to float16 (half the tunnel traffic; quantization
-    is ~5e-4 relative, far below the solver's escalation tolerance —
-    quantified in tests/test_staging.py); BENCH_WIRE=float32 restores the
-    lossless path. The StagingReport is stored in ``fix["staging_report"]``
-    so the emitting runner can attribute degraded-tunnel time explicitly.
+    float16 wire by default (BENCH_WIRE=float32 for lossless; the ~5e-4
+    quantization is quantified in tests/test_staging.py). A deadline
+    thread (BENCH_STAGING_TIMEOUT, default 1200 s) exits 5 with an
+    attributed error JSON when the data channel crawls, not a hang.
     """
     from aggforce_tpu.io.staging import stage_trajectory
 
     wire = os.environ.get("BENCH_WIRE", "float16")
+    cancel = _staging_deadline(wire)
     traj, report = stage_trajectory(
         fix["coords"], fix["forces"], wire_dtype=wire
     )
+    cancel()
     fix["staging_report"] = report
     log(
         f"device staging (H2D): {report.seconds:.3f}s "
         f"({report.bytes / 1e6:.1f} MB as {report.wire_dtype}, "
-        f"{report.mbps:.1f} MB/s, {report.n_chunks} chunks, "
-        f"{report.retries} retries"
+        f"{report.mbps:.1f} MB/s, {report.n_chunks} chunks, {report.retries} retries"
         f"{', TUNNEL DEGRADED' if report.degraded else ''})"
     )
     return traj
@@ -1034,3 +1034,44 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _staging_deadline(wire: str):
+    """Deadline for the H2D staging phase (see ``_staged_device_traj``).
+
+    Returns a zero-arg cancel callable. If staging is still running when
+    ``BENCH_STAGING_TIMEOUT`` (default 1200 s; <=0 disables) expires, one
+    error-attributed JSON line is emitted and the process exits 5 — a
+    crawling tunnel data channel otherwise stalls the bench past any
+    driver patience and leaves no artifact (observed <0.2 MB/s windows,
+    2026-08-20; healthy is ~100 MB/s). Defined after ``main`` on purpose:
+    appended code cannot shift the line numbers embedded in the committed
+    pallas program cache keys (see CLAUDE.md).
+    """
+    import threading
+
+    budget = float(os.environ.get("BENCH_STAGING_TIMEOUT", "1200"))
+    done = threading.Event()
+    if budget <= 0:
+        return done.set
+
+    def watch():
+        if done.wait(budget):
+            return
+        _emit(
+            "featurized_qp_fit_frames_per_sec_per_chip",
+            0.0,
+            extra={
+                "error": "staging_timeout",
+                "detail": (
+                    f"H2D staging ({wire} wire) still running after "
+                    f"{budget:.0f}s — tunnel data channel degraded below "
+                    "usable; no measurement possible"
+                ),
+            },
+        )
+        sys.stdout.flush()
+        os._exit(5)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done.set

@@ -79,3 +79,34 @@ def test_watchdog_fails_loudly_when_backend_never_answers():
     assert payload["error"] == "device_unreachable"
     assert payload["value"] == 0.0
     assert "did not complete" in payload["detail"]
+
+
+def test_staging_deadline_fires_when_never_cancelled():
+    """A crawling data channel: attributed JSON + exit 5, not a hang."""
+    code = _LOAD_BENCH + (
+        "bench._staging_deadline('float16')\n"  # cancel callable discarded
+        "time.sleep(30)\n"
+        "print('SHOULD_NOT_REACH')\n"
+    )
+    r = _run(code, {"BENCH_STAGING_TIMEOUT": "1"}, timeout=120)
+    assert r.returncode == 5, (r.returncode, r.stdout, r.stderr)
+    assert "SHOULD_NOT_REACH" not in r.stdout
+    payload = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert payload["error"] == "staging_timeout"
+    assert "float16" in payload["detail"]
+
+
+def test_staging_deadline_cancel_and_disable():
+    """Cancelled or disabled (<=0) deadlines never fire."""
+    code = _LOAD_BENCH + (
+        "bench._staging_deadline('float16')()\n"  # cancel immediately
+        "bench.os.environ['BENCH_STAGING_TIMEOUT'] = '0'\n"
+        "bench._staging_deadline('float16')\n"  # disabled: no thread at all
+        "time.sleep(3)\n"
+        "print('SURVIVED')\n"
+    )
+    r = _run(code, {"BENCH_STAGING_TIMEOUT": "1"}, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+    assert "SURVIVED" in r.stdout
